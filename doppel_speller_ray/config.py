@@ -1,0 +1,86 @@
+"""Engine configuration.
+
+Mirrors the reference's tunables (``/root/reference/doppelspeller/settings.py``)
+where semantics overlap (n-gram size 3, Levenshtein threshold 94, prediction
+threshold 0.9, 255-char title cap) and adds the knobs the Ray-Data-native
+dedup engine needs (MinHash permutations, LSH banding, bucket caps/salting,
+checkpointing).
+
+All randomness in the engine derives from ``seed`` (+ stable per-row hashes),
+unlike the reference which uses unseeded ``random`` — determinism is required
+for resumable, retry-safe distributed execution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Configuration for the near-duplicate detection + clustering pipeline."""
+
+    # --- normalization (reference parity: settings.py:15,67-68, common.py:20-47)
+    n_grams: int = 3                 # character shingle width (N_GRAMS)
+    max_chars: int | None = None     # cap on normalized text; 255 = reference
+    #   parity mode (MAX_CHARACTERS_ALLOWED_IN_THE_TITLE); None = full text
+    #   (web pages are longer than titles, capping would merge long docs that
+    #   share a prefix)
+
+    # --- MinHash / LSH candidate generation (revives the reference's
+    #     abandoned MinHash design, constants.py:16-17)
+    num_perms: int = 128             # MinHash permutations
+    lsh_bands: int = 16              # b bands ...
+    lsh_rows: int = 8                # ... of r rows each; b*r == num_perms
+    seed: int = 42
+
+    # --- skew handling (north_rule: salt/split hot LSH buckets)
+    max_bucket_size: int = 64        # buckets larger than this are chained,
+    #   not all-paired: each doc pairs with its `chain_width` sorted
+    #   neighbours — union-find transitivity recovers the cluster
+    chain_width: int = 4
+
+    # --- verification tiers
+    jaccard_threshold: float = 0.80  # exact shingle-set Jaccard gate (Broder-style near-dup criterion)
+    lev_threshold: int = 94          # LEVENSHTEIN_RATIO_THRESHOLD (settings.py:75)
+    use_levenshtein: bool = True     # gated Levenshtein chain (predict.py:140-156)
+    lev_max_chars: int = 512         # cap text length fed to the O(n*m/64) kernel
+
+    # --- execution
+    batch_size: int = 1024           # rows per map_batches call
+    shuffle_partitions: int | None = None  # None = let Ray pick
+
+    # --- output / resume
+    checkpoint_dir: str | None = None  # stage Parquet checkpoints + manifests
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perms:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal num_perms ({self.num_perms})"
+            )
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """Configuration for the reference-compat title-matching mode.
+
+    Reproduces the tiered matcher of ``predict.py``: exact lookup → IDF-Jaccard
+    top-k candidates → gated Levenshtein verification.
+    """
+
+    n_grams: int = 3                          # settings.py:15
+    max_chars: int = 255                      # settings.py:67-68
+    top_k: int = 100                          # TOP_N_RESULTS_TO_FIND_FOR_PREDICTING (settings.py:56)
+    top_k_train: int = 10                     # settings.py:55
+    lev_threshold: int = 94                   # settings.py:75
+    prediction_threshold: float = 0.9         # settings.py:76
+    false_positive_penalty: int = 5           # settings.py:77
+    not_found_value: int = -1                 # TRAIN_NOT_FOUND_VALUE (settings.py:33)
+    seed: int = 42
+    batch_size: int = 256
+    concurrency: int = 4                      # matcher actor pool size
+
+
+DEFAULT_DEDUP = DedupConfig()
+DEFAULT_MATCH = MatchConfig()

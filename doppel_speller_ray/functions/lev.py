@@ -1,0 +1,130 @@
+"""Levenshtein kernels — pure Python bit-parallel (no C extension available).
+
+The reference relies on ``python-Levenshtein``'s ``ratio`` (C extension,
+``/root/reference/doppelspeller/common.py:161-167``) and a numba uint8 DP with
+substitution cost 2 (``feature_engineering.py:25-63``). Neither numba nor a
+Levenshtein C library exists in this environment, so the kernels are
+implemented bit-parallel over Python big-ints (O(n·m/64) word ops):
+
+* ``lev_ratio``: exact ``Levenshtein.ratio`` semantics — weighted edit
+  distance with substitution cost 2 (= indel distance = len_a+len_b−2·LCS),
+  ratio = (lensum − dist) / lensum, returned as int round(ratio·100)
+  (common.py:161-162). LCS via the Allison–Dix bit-parallel recurrence.
+* ``lev_distance``: unit-cost Levenshtein via Myers' bit-parallel algorithm
+  (matches DuckDB's ``levenshtein()`` — used as a SQL-checkable oracle).
+* ``token_sort_ratio``: words sorted alphabetically then ``lev_ratio``
+  (common.py:165-167).
+* ``deletion_ratio`` / ``gated_ratio``: the prefilter + threshold chain of
+  ``predict.py:140-156``.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+
+def _char_masks(a: str) -> dict[str, int]:
+    masks: dict[str, int] = {}
+    bit = 1
+    for ch in a:
+        masks[ch] = masks.get(ch, 0) | bit
+        bit <<= 1
+    return masks
+
+
+def lcs_length(a: str, b: str) -> int:
+    """Bit-parallel LCS length (Allison–Dix / Crochemore formulation)."""
+    m = len(a)
+    if m == 0 or len(b) == 0:
+        return 0
+    if m > len(b):  # fewer big-int bits when the mask string is the longer one
+        a, b = b, a
+        m = len(a)
+    masks = _char_masks(a)
+    full = (1 << m) - 1
+    v = full
+    for ch in b:
+        p = masks.get(ch, 0)
+        u = v & p
+        v = ((v + u) | (v - u)) & full
+    # zeros in v mark matched positions
+    return m - bin(v).count("1")
+
+
+def lev_ratio(a: str, b: str) -> int:
+    """round(100 × Levenshtein.ratio(a,b)): sub-cost-2 distance ratio."""
+    lensum = len(a) + len(b)
+    if lensum == 0:
+        return 100
+    return int(round(200 * lcs_length(a, b) / lensum))
+
+
+def lev_ratio_float(a: str, b: str) -> float:
+    lensum = len(a) + len(b)
+    if lensum == 0:
+        return 1.0
+    return 2.0 * lcs_length(a, b) / lensum
+
+
+def lev_distance(a: str, b: str) -> int:
+    """Unit-cost Levenshtein distance (Myers 1999 bit-parallel)."""
+    m = len(a)
+    if m == 0:
+        return len(b)
+    if len(b) == 0:
+        return m
+    masks = _char_masks(a)
+    full = (1 << m) - 1
+    high = 1 << (m - 1)
+    pv, mv = full, 0
+    score = m
+    for ch in b:
+        eq = masks.get(ch, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (~(xh | pv) & full)
+        mh = pv & xh
+        if ph & high:
+            score += 1
+        if mh & high:
+            score -= 1
+        ph = ((ph << 1) | 1) & full
+        mh = (mh << 1) & full
+        pv = (mh | (~(xv | ph) & full))
+        mv = ph & xv
+    return score
+
+
+def token_sort_ratio(a: str, b: str) -> int:
+    """Sort words alphabetically in both strings, then lev_ratio
+    (common.py:165-167)."""
+    return lev_ratio(" ".join(sorted(a.split())), " ".join(sorted(b.split())))
+
+
+def deletion_ratio(a: str, b: str) -> float:
+    """Cheap upper bound on lev_ratio from lengths alone (predict.py:141-145)."""
+    la, lb = len(a), len(b)
+    total = la + lb
+    if total == 0:
+        return 100.0
+    return ((total - abs(la - lb)) / total) * 100
+
+
+def gated_ratio(a: str, b: str, threshold: int = 94) -> int:
+    """The reference's verification chain (predict.py:147-156):
+
+    deletion_ratio < threshold → 0 (skip the expensive kernel entirely);
+    lev_ratio ≤ threshold → token_sort_ratio (word-order-insensitive retry);
+    else lev_ratio.
+    """
+    if deletion_ratio(a, b) < threshold:
+        return 0
+    r = lev_ratio(a, b)
+    if r <= threshold:
+        return token_sort_ratio(a, b)
+    return r
+
+
+@lru_cache(maxsize=65536)
+def _cached_ratio(a: str, b: str) -> int:
+    return lev_ratio(a, b)

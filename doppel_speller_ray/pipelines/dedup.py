@@ -1,0 +1,163 @@
+"""The flagship near-duplicate detection + clustering pipeline.
+
+Target shape per SURVEY.md §3.1 / BASELINE north_star:
+
+    read_parquet(pages) → map_batches prepare (normalize N1 + tokenize N2 +
+    shingle N3, fused, Arrow) → exact tier (groupby norm_hash → reps +
+    exact pairs, D1) → MinHash/LSH banding (stateless vectorized
+    map_batches) → bucket groupby → candidate pairs (capped/chained for
+    skew) → pair dedup groupby → payload hash-join → verify (exact Jaccard
+    + gated Levenshtein, D3) → union-find (A10) → cluster assignment →
+    write_parquet(clusters)
+
+Shuffles: exact-tier groupby, LSH bucket groupby, pair-dedup groupby, the
+two payload joins. Everything else is embarrassingly parallel map_batches
+over Arrow batches; the only driver-side state is the (small) verified-pair
+union-find and its broadcast component map.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import pyarrow as pa
+
+from ..config import DedupConfig
+from ..stages.exact import exact_dedup, split_exact
+from ..stages.lsh import band_explode_batch, candidate_pairs
+from ..stages.prepare import prepare_batch, prepare_pages_batch
+from ..stages.verify import attach_payload, verify_batch
+from ..state.unionfind import assign_clusters, clusters_from_pairs
+
+
+_EMPTY_VERIFIED = pa.table({
+    "left_id": pa.array([], pa.int64()),
+    "right_id": pa.array([], pa.int64()),
+    "oversized": pa.array([], pa.int64()),
+    "jaccard": pa.array([], pa.float32()),
+    "lev_ratio": pa.array([], pa.int16()),
+    "is_dup": pa.array([], pa.bool_()),
+})
+
+
+@dataclass
+class DedupResult:
+    clusters: Any          # Dataset (doc_id, cluster_id)
+    verified_pairs: Any    # Dataset (left_id, right_id, jaccard, lev_ratio, is_dup)
+    exact_pairs: Any       # Dataset (left_id, right_id)
+    docs: Any              # Dataset of prepared docs (materialized)
+    stats: dict[str, Any]
+
+
+def build_docs(ds, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text",
+               keep_cols: tuple[str, ...] = ()):
+    """Input Dataset → prepared docs Dataset (normalize/tokenize/shingle)."""
+    if id_col == "url":  # pages-shaped input: derive ids from urls
+        return ds.map_batches(
+            prepare_pages_batch, batch_format="pyarrow",
+            batch_size=cfg.batch_size, fn_kwargs={"cfg": cfg, "keep_cols": keep_cols or ("url",)},
+        )
+    return ds.map_batches(
+        prepare_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
+        fn_kwargs={"cfg": cfg, "id_col": id_col, "text_col": text_col,
+                   "keep_cols": keep_cols},
+    )
+
+
+def _checkpoint(ds, cfg: DedupConfig, name: str):
+    """Stage checkpoint: write partitioned Parquet + manifest, re-read.
+
+    With no checkpoint_dir configured the dataset is materialized in the
+    object store instead (it is consumed by two downstream branches; without
+    either, lineage would recompute the stage per consumer).
+    """
+    if not cfg.checkpoint_dir:
+        return ds.materialize()
+    import ray.data as rd
+
+    out = os.path.join(cfg.checkpoint_dir, name)
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        tmp = out + ".tmp"
+        ds.write_parquet(tmp)
+        os.replace(tmp, out)
+        with open(done, "w") as f:
+            f.write("ok")
+    return rd.read_parquet(out)
+
+
+def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_id",
+                   text_col: str = "text", num_partitions: int | None = None,
+                   use_distributed_cc: bool = False) -> DedupResult:
+    """Run the full dedup DAG over an input Dataset. Returns lazy Datasets
+    (clusters unconsumed) plus the small materialized pair sets."""
+    if num_partitions is None:
+        from ..util import default_num_partitions
+
+        num_partitions = default_num_partitions()
+    docs_all = build_docs(ds, cfg, id_col=id_col, text_col=text_col)
+
+    # --- exact tier (one shuffle) -----------------------------------------
+    with_rep = exact_dedup(docs_all)
+    with_rep = _checkpoint(with_rep, cfg, "docs_with_rep")
+    reps, exact_pairs = split_exact(with_rep)
+    reps = _checkpoint(reps, cfg, "reps")
+
+    # --- LSH candidate tier (bucket shuffle + pair-dedup shuffle) ---------
+    bands = reps.map_batches(
+        band_explode_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
+        fn_kwargs={"cfg": cfg},
+    )
+    # candidate ids are tiny rows (two int64s) — materializing here both
+    # feeds the two payload joins without recompute and lets us detect the
+    # no-candidates case (an empty groupby output loses its schema, which
+    # crashes the downstream hash join).
+    cand = candidate_pairs(bands, cfg).materialize()
+
+    if cand.count() == 0:
+        import ray.data as rd
+
+        verified = rd.from_arrow(_EMPTY_VERIFIED)
+    else:
+        # --- verification (two payload joins + stateless verify) ----------
+        attached = attach_payload(cand, reps, num_partitions=num_partitions,
+                                  with_text=cfg.use_levenshtein)
+        verified = attached.map_batches(
+            verify_batch, batch_format="pyarrow", fn_kwargs={"cfg": cfg}
+        )
+        verified = _checkpoint(verified, cfg, "verified_pairs")
+
+    # --- connected components + assignment --------------------------------
+    def dup_project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        f = t.filter(pc.equal(t["is_dup"], True))
+        return f.select(["left_id", "right_id"])
+
+    dup_pairs = verified.map_batches(dup_project, batch_format="pyarrow")
+    all_pairs = exact_pairs.union(dup_pairs)
+    if use_distributed_cc:
+        from ..state.cc import connected_components_distributed
+
+        labels = connected_components_distributed(all_pairs)
+        mapping = {int(r["node"]): int(r["label"]) for r in labels.take_all()}
+    else:
+        mapping = clusters_from_pairs(all_pairs, dup_only=False)
+
+    clusters = assign_clusters(with_rep, mapping)
+
+    stats = {
+        "n_components": len(set(mapping.values())),
+        "n_clustered_docs": len(mapping),
+    }
+    return DedupResult(clusters=clusters, verified_pairs=verified,
+                       exact_pairs=exact_pairs, docs=with_rep, stats=stats)
+
+
+def write_clusters(result: DedupResult, out_dir: str) -> None:
+    """Deterministic, resumable output: clusters sorted by doc_id, written
+    as partitioned Parquet (many part files — never one giant file).
+    mode="overwrite" so a rerun replaces rather than appends (a bare
+    write_parquet into a non-empty dir silently doubles the output)."""
+    result.clusters.sort("doc_id").write_parquet(out_dir, mode="overwrite")

@@ -1,0 +1,712 @@
+"""Driver-facing query catalog: one Ray Data pipeline per operator from
+SURVEY.md §2, each with (where SQL-expressible) a DuckDB oracle that the
+driver runs side-by-side at sf=0.01 (CORRECTNESS gate).
+
+Column names are kept identical between the Ray result and the oracle SQL
+(the driver's compare sorts columns by name before value-hashing). Float
+outputs are rounded to 6 decimals on BOTH sides.
+
+Tables used: documents (doc_id,text,lang,source,n_chars), embeddings
+(vec_id, embedding list<float>, label), lineitem, orders, customer, events.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DedupConfig
+from ..functions.normalize import normalize_array
+
+# Normalization config used by all document queries: full-text (no 255 cap)
+_QCFG = DedupConfig(max_chars=None)
+
+# DuckDB equivalent of transform_text on ascii, space-only-whitespace input
+# (documents.text is generated ascii; the general unicode path is covered by
+# unit parity tests, not the SQL oracle).
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(replace(lower(text), '-', ' '), "
+    "'[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _norm_docs_table(sf_dir: str):
+    """(doc_id, norm) dataset — shared prefix of the document queries."""
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm": normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# N1/N2 — normalize + tokenize
+# ---------------------------------------------------------------------------
+
+def q_normalize(sf_dir: str):
+    return _norm_docs_table(sf_dir)
+
+
+SQL_NORMALIZE = f"SELECT doc_id, {_SQL_NORM} AS norm FROM documents"
+
+
+def q_tokenize(sf_dir: str):
+    from ..functions.normalize import tokenize_counts
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        n_words, n_chars = tokenize_counts(norm)
+        return pa.table({"doc_id": t["doc_id"], "n_words": n_words,
+                         "n_chars_norm": n_chars.cast(pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TOKENIZE = f"""
+WITH n AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents)
+SELECT doc_id,
+       CASE WHEN norm = '' THEN 0 ELSE length(string_split(norm, ' ')) END AS n_words,
+       length(norm) AS n_chars_norm
+FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/A3 — word document frequency + IDF (reference common.py:140-142,154-158)
+# ---------------------------------------------------------------------------
+
+def _word_df_ds(sf_dir: str):
+    """Pre-aggregated per-batch word→count, then a small groupby-sum.
+
+    The per-batch partial combine (one row per word per batch, not per doc)
+    is the scale pattern: the shuffle moves |vocab|×|batches| rows instead of
+    |total word occurrences|.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        words = pc.split_pattern(norm, pattern=" ")
+        flat = words.values.to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t)), lens)
+        # distinct (doc, word): count each word once per doc (common.py:141)
+        uniq = {}
+        for d, w in zip(doc_idx, flat):
+            if w:
+                uniq[(d, w)] = None
+        from collections import Counter
+
+        counts = Counter(w for (_, w) in uniq)
+        if not counts:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "df_part": pa.array([], pa.int64())})
+        return pa.table({"word": pa.array(list(counts.keys())),
+                         "df_part": pa.array(list(counts.values()), pa.int64())})
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("word").aggregate(Sum("df_part", alias_name="df"))
+
+
+def q_word_df(sf_dir: str):
+    return _word_df_ds(sf_dir)
+
+
+SQL_WORD_DF = f"""
+WITH n AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+w AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS word FROM n)
+SELECT word, count(*) AS df FROM w WHERE word <> '' GROUP BY word
+"""
+
+
+def q_word_idf(sf_dir: str):
+    """idf = ln(N / df) per word (common.py:154-158), rounded to 6."""
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+
+    def fin(t: pa.Table) -> pa.Table:
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.round(np.log(n_docs / df), 6)
+        return pa.table({"word": t["word"], "idf": pa.array(idf, pa.float64())})
+
+    return _word_df_ds(sf_dir).map_batches(fin, batch_format="pyarrow")
+
+
+SQL_WORD_IDF = f"""
+WITH n AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+w AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS word FROM n),
+d AS (SELECT word, count(*) AS df FROM w WHERE word <> '' GROUP BY word)
+SELECT word, round(ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS idf FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2 — n-gram document frequency (reference common.py:145-147)
+# ---------------------------------------------------------------------------
+
+def q_ngram_df(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..functions.shingles import decode_shingle, list_column_flat, shingle_array
+
+    def partial(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        sh = shingle_array(norm, _QCFG.n_grams)
+        flat, _ = list_column_flat(sh)
+        codes, counts = np.unique(flat, return_counts=True)
+        grams = [decode_shingle(c, _QCFG.n_grams) for c in codes]
+        return pa.table({"gram": pa.array(grams, pa.string()),
+                         "df_part": pa.array(counts, pa.int64())})
+
+    partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("gram").aggregate(Sum("df_part", alias_name="df"))
+
+
+SQL_NGRAM_DF = f"""
+WITH n AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+g AS (SELECT DISTINCT doc_id, substring(norm, i, 3) AS gram
+      FROM n, generate_series(1, length(norm) - 2) AS t(i))
+SELECT gram, count(*) AS df FROM g GROUP BY gram
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1 — exact dedup / keep-first (reference predict.py:97-113 reborn as shuffle)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_first(sf_dir: str):
+    """Keep min doc_id per (lang, source) — keep-first grouped dedup."""
+    from ray.data.aggregate import Min
+
+    return _docs(sf_dir, ["doc_id", "lang", "source"]) \
+        .groupby(["lang", "source"]).aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+SQL_EXACT_DEDUP_FIRST = (
+    "SELECT lang, source, min(doc_id) AS doc_id FROM documents GROUP BY lang, source"
+)
+
+
+def q_exact_text_groups(sf_dir: str):
+    """min-doc_id representative per distinct text (true exact-dedup shape)."""
+    from ray.data.aggregate import Count, Min
+
+    return _docs(sf_dir, ["doc_id", "text"]).groupby("text").aggregate(
+        Min("doc_id", alias_name="rep_id"), Count(alias_name="group_size")
+    ).select_columns(["rep_id", "group_size"])
+
+
+SQL_EXACT_TEXT_GROUPS = (
+    "SELECT min(doc_id) AS rep_id, count(*) AS group_size FROM documents GROUP BY text"
+)
+
+
+# ---------------------------------------------------------------------------
+# A5/A6 — grouped argmax with ambiguity drop (predict.py:158-176)
+# ---------------------------------------------------------------------------
+
+def q_grouped_argmax(sf_dir: str):
+    """Per lang: the doc with max n_chars; groups with a tie are dropped
+    entirely (the reference's _remove_duplicated_matches semantics)."""
+    def per_group(g):
+        mx = g["n_chars"].max()
+        top = g[g["n_chars"] == mx]
+        if len(top) != 1:
+            return top.iloc[0:0]
+        return top[["lang", "doc_id", "n_chars"]]
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]) \
+        .groupby("lang").map_groups(per_group, batch_format="pandas")
+
+
+SQL_GROUPED_ARGMAX = """
+WITH m AS (SELECT lang, max(n_chars) AS mx FROM documents GROUP BY lang),
+top AS (SELECT d.lang, d.doc_id, d.n_chars FROM documents d
+        JOIN m ON d.lang = m.lang AND d.n_chars = m.mx)
+SELECT lang, doc_id, n_chars FROM top
+WHERE lang IN (SELECT lang FROM top GROUP BY lang HAVING count(*) = 1)
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1/O2 — sort + top-k
+# ---------------------------------------------------------------------------
+
+def q_top_docs(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "n_chars"]) \
+        .sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+SQL_TOP_DOCS = (
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting
+# ---------------------------------------------------------------------------
+
+def q_token_count(sf_dir: str):
+    from ..functions.textstats import whitespace_token_counts
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(whitespace_token_counts(t["text"]), pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1-analog scalar function check: unit-cost Levenshtein (DuckDB levenshtein)
+# ---------------------------------------------------------------------------
+
+def q_lev_distance(sf_dir: str):
+    """Unit-cost Levenshtein between consecutive docs' normalized prefixes —
+    SQL-checkable via DuckDB's levenshtein()."""
+    from ..functions.lev import lev_distance
+
+    norm = _norm_docs_table(sf_dir)
+
+    def prefix(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "p": pc.utf8_slice_codeunits(t["norm"], 0, 40)})
+
+    prefixes = norm.map_batches(prefix, batch_format="pyarrow")
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id_r": pc.add(t["doc_id"], 1), "p_r": t["p"]})
+
+    right = prefixes.map_batches(shift, batch_format="pyarrow")
+    joined = prefixes.join(right, join_type="inner", num_partitions=4,
+                           on=("doc_id",), right_on=("doc_id_r",))
+
+    def dist(t: pa.Table) -> pa.Table:
+        a = t["p"].to_pylist()
+        b = t["p_r"].to_pylist()
+        d = [lev_distance(x, y) for x, y in zip(a, b)]
+        return pa.table({"doc_id": t["doc_id"], "lev": pa.array(d, pa.int64())})
+
+    return joined.map_batches(dist, batch_format="pyarrow")
+
+
+SQL_LEV_DISTANCE = f"""
+WITH n AS (SELECT doc_id, substring({_SQL_NORM}, 1, 40) AS p FROM documents)
+SELECT a.doc_id AS doc_id, levenshtein(a.p, b.p) AS lev
+FROM n a JOIN n b ON a.doc_id = b.doc_id + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (D2-analog with an exact SQL oracle)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+    """All-pairs exact 3-gram Jaccard ≥ threshold. Ray side: per-batch
+    vectorized set intersection against a broadcast of the (small at this
+    sf) shingle table; the LSH pipeline is the scale path for the same
+    semantics (rows-only checked there)."""
+    import ray
+
+    from ..functions.shingles import list_column_flat, shingle_array
+
+    def prep(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        return pa.table({"doc_id": t["doc_id"], "shingles": shingle_array(norm, 3)})
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(prep, batch_format="pyarrow")
+    # collect the shingle table once; broadcast to the pair-scoring tasks
+    all_rows = docs.take_all()
+    ids = np.array([r["doc_id"] for r in all_rows], dtype=np.int64)
+    sets = [np.asarray(r["shingles"], dtype=np.uint64) for r in all_rows]
+    order = np.argsort(ids)
+    ids = ids[order]
+    sets = [sets[i] for i in order]
+    ref = ray.put((ids, sets))
+
+    import ray.data as rd
+
+    idx = rd.from_items([{"i": int(i)} for i in range(len(ids))])
+
+    def pairs_for(batch: pa.Table) -> pa.Table:
+        bids, bsets = ray.get(ref)
+        out_l, out_r, out_j = [], [], []
+        for i in batch["i"].to_pylist():
+            a = bsets[i]
+            for j in range(i + 1, len(bids)):
+                b = bsets[j]
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                union = len(a) + len(b) - inter
+                jac = inter / union if union else 1.0
+                if jac >= threshold:
+                    out_l.append(int(bids[i]))
+                    out_r.append(int(bids[j]))
+                    out_j.append(round(jac, 6))
+        return pa.table({"left_id": pa.array(out_l, pa.int64()),
+                         "right_id": pa.array(out_r, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return idx.map_batches(pairs_for, batch_format="pyarrow", batch_size=32)
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH n AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+g AS (SELECT DISTINCT doc_id, substring(norm, i, 3) AS gram
+      FROM n, generate_series(1, length(norm) - 2) AS t(i)),
+c AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+i AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS isz
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+SELECT i.l AS left_id, i.r AS right_id,
+       round(i.isz * 1.0 / (ca.sz + cb.sz - i.isz), 6) AS jaccard
+FROM i JOIN c ca ON ca.doc_id = i.l JOIN c cb ON cb.doc_id = i.r
+WHERE i.isz * 1.0 / (ca.sz + cb.sz - i.isz) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (ANN brute-force baseline)
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str, k: int = 10):
+    """Top-k cosine neighbours of vec_id=0, brute force: numpy matmul per
+    batch against the broadcast query vector, then a global sort+limit."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_row = [r for r in emb.take(5) if r["vec_id"] == 0]
+    if not q_row:
+        q_row = emb.filter(lambda r: r["vec_id"] == 0).take(1)
+    q = np.asarray(q_row[0]["embedding"], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    ref = ray.put(qn)
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(ref)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ qv) / np.where(norms == 0, 1, norms)
+        out = pa.table({"vec_id": t["vec_id"],
+                        "sim": pa.array(np.round(sims, 6), pa.float64())})
+        return out.filter(pc.not_equal(t["vec_id"], 0))
+
+    return emb.map_batches(score, batch_format="pyarrow") \
+        .sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding, q.qe), 6) AS sim
+FROM embeddings e, q WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.95):
+    """Embedding-cosine near-dup pairs (brute force at this sf; the
+    LSH-bucketed variant in pipelines/ann.py is the scale path)."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = emb.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1)
+    matn = mat / np.where(norms == 0, 1, norms)[:, None]
+    ref = ray.put((ids, matn))
+
+    import ray.data as rd
+
+    idx = rd.from_items([{"i": int(i)} for i in range(len(ids))])
+
+    def pairs_for(batch: pa.Table) -> pa.Table:
+        bids, bm = ray.get(ref)
+        out_l, out_r, out_c = [], [], []
+        for i in batch["i"].to_pylist():
+            sims = bm[i + 1:] @ bm[i]
+            hits = np.nonzero(sims >= threshold)[0]
+            for h in hits:
+                out_l.append(int(bids[i]))
+                out_r.append(int(bids[i + 1 + h]))
+                out_c.append(round(float(sims[h]), 6))
+        return pa.table({"left_id": pa.array(out_l, pa.int64()),
+                         "right_id": pa.array(out_r, pa.int64()),
+                         "cos": pa.array(out_c, pa.float64())})
+
+    return idx.map_batches(pairs_for, batch_format="pyarrow", batch_size=64)
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
+
+
+# ---------------------------------------------------------------------------
+# Generic relational coverage: pre-aggregated groupby, join, window
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1 shape with per-batch partial aggregation before the shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table):
+        import pandas as pd
+
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_part=("l_quantity", "sum"),
+            disc_part=("disc_price", "sum"),
+            n_part=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = li.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("qty_part", alias_name="sum_qty"),
+        Sum("disc_part", alias_name="sum_disc_price"),
+        Sum("n_part", alias_name="count_order"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.cast(pc.round(t["sum_qty"], 0), pa.int64()),
+            "sum_disc_price": pc.round(t["sum_disc_price"], 2),
+            "count_order": pc.cast(t["count_order"], pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_customer_orders(sf_dir: str):
+    """Join + grouped aggregate (orders per customer with totals)."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.join(cust, join_type="inner", num_partitions=4,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    agg = joined.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "total": pc.round(t["total"], 2),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_ORDERS = """
+SELECT o.o_custkey AS c_custkey, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: events per (user, hour). Ray Data has no
+    event-time windows; the window is a derived column + groupby
+    (ray_guide 'Streaming-shaped workloads')."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def hour(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "value": t["value"],
+        })
+
+    agg = ev.map_batches(hour, batch_format="pyarrow").groupby(
+        ["user_id", "hour"]
+    ).aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "hour": t["hour"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pc.round(t["sum_value"], 3),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+       round(sum(value), 3) AS sum_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only (non-SQL-expressible) operators
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_clusters(sf_dir: str):
+    """Flagship dedup over the documents table (MinHash/LSH + verify + CC)."""
+    from .dedup import dedup_pipeline
+
+    res = dedup_pipeline(_docs(sf_dir, ["doc_id", "text"]), _QCFG)
+    return res.clusters
+
+
+def q_simhash(sf_dir: str):
+    from ..functions.shingles import list_column_flat, shingle_array
+    from ..functions.simhash import simhash_flat
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        flat, off = list_column_flat(shingle_array(norm, 3))
+        sim = simhash_flat(flat, off, seed=_QCFG.seed)
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pa.array(sim.astype(np.int64), pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    from ..functions.textstats import detect_language
+
+    def fn(t: pa.Table) -> pa.Table:
+        langs = [detect_language(x) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(langs)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str):
+    from ..functions.textstats import quality_features
+
+    def fn(t: pa.Table) -> pa.Table:
+        q = quality_features(t["text"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(q["n_tokens"], pa.int64()),
+            "punct_ratio": pa.array(np.round(q["punct_ratio"], 6), pa.float64()),
+            "stopword_ratio": pa.array(np.round(q["stopword_ratio"], 6), pa.float64()),
+            "quality_score": pa.array(np.round(q["quality_score"], 6), pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    from ..functions.textstats import content_fingerprint
+
+    def fn(t: pa.Table) -> pa.Table:
+        fp = content_fingerprint(t["text"], seed=_QCFG.seed)
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pa.array(fp.astype(np.int64), pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_bpe_tokens(sf_dir: str):
+    from ..functions.textstats import bpe_token_counts
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bpe_tokens": pa.array(bpe_token_counts(t["text"].to_pylist()),
+                                                  pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "normalize": q_normalize,
+    "tokenize": q_tokenize,
+    "word_df": q_word_df,
+    "word_idf": q_word_idf,
+    "ngram_df": q_ngram_df,
+    "exact_dedup_first": q_exact_dedup_first,
+    "exact_text_groups": q_exact_text_groups,
+    "grouped_argmax": q_grouped_argmax,
+    "top_docs": q_top_docs,
+    "token_count": q_token_count,
+    "lev_distance": q_lev_distance,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "lineitem_agg": q_lineitem_agg,
+    "customer_orders": q_customer_orders,
+    "events_hourly": q_events_hourly,
+    # rows-only (no SQL oracle)
+    "minhash_lsh_clusters": q_minhash_lsh_clusters,
+    "simhash": q_simhash,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "bpe_tokens": q_bpe_tokens,
+}
+
+ORACLES = {
+    "normalize": SQL_NORMALIZE,
+    "tokenize": SQL_TOKENIZE,
+    "word_df": SQL_WORD_DF,
+    "word_idf": SQL_WORD_IDF,
+    "ngram_df": SQL_NGRAM_DF,
+    "exact_dedup_first": SQL_EXACT_DEDUP_FIRST,
+    "exact_text_groups": SQL_EXACT_TEXT_GROUPS,
+    "grouped_argmax": SQL_GROUPED_ARGMAX,
+    "top_docs": SQL_TOP_DOCS,
+    "token_count": SQL_TOKEN_COUNT,
+    "lev_distance": SQL_LEV_DISTANCE,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "customer_orders": SQL_CUSTOMER_ORDERS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+}

@@ -1,0 +1,159 @@
+"""Deterministic synthetic `pages` fixtures with planted duplicate clusters.
+
+Schema per BASELINE.json input_hint: (url:string, warc_ts:timestamp[us],
+html:binary, text:string, lang:string), plus a sidecar truth table
+(url, cluster_id) — cluster_id = -1 for singletons (FIXTURES.md §1).
+
+Duplicate planting mirrors the reference's synthetic-positive model
+(``/root/reference/doppelspeller/feature_engineering_prepare.py:165-173``):
+near-dup copies get 1–2 seeded perturbations (QWERTY-adjacent replace, add/
+remove letter, add/remove space, swap adjacent words). Containment pages
+(base text embedded in boilerplate) are flagged with cluster_id recorded in a
+separate column so LSH recall is not charged for them.
+
+Everything is seeded; per-row perturbation seeds derive from
+hash(seed, row index) so the fixture is reproducible regardless of how rows
+are later partitioned.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.misspell import misspell
+
+_BASE_WORDS = (
+    "table query scan filter join merge sort group window stream batch row column "
+    "value key hash index vector spark data fast slow big small part order line "
+    "customer supplier nation region page crawl web text dedup shingle signature "
+    "cluster bucket verify exact near candidate pair corpus document"
+).split()
+
+
+def _make_vocab(seed: int = 7, n_extra: int = 600) -> list[str]:
+    """Base words + seeded pseudo-words. A large vocabulary keeps the char
+    3-gram space of unrelated documents from saturating (with a tiny
+    vocabulary every long doc shares most 3-grams with every other — not how
+    real web text behaves, and it breaks precision measurement)."""
+    rng = random.Random(seed)
+    onsets = ["b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "n", "p", "r",
+              "s", "t", "v", "w", "z", "br", "cl", "dr", "fl", "gr", "pl",
+              "st", "tr", "sk", "sp"]
+    vowels = ["a", "e", "i", "o", "u", "ai", "ea", "io", "ou"]
+    codas = ["", "n", "r", "s", "t", "l", "m", "nd", "st", "rk", "nt"]
+    words = set(_BASE_WORDS)
+    while len(words) < len(_BASE_WORDS) + n_extra:
+        n_syll = rng.randint(2, 4)
+        w = "".join(rng.choice(onsets) + rng.choice(vowels) + rng.choice(codas)
+                    for _ in range(n_syll))
+        words.add(w)
+    return sorted(words)
+
+
+_WORDS = _make_vocab()
+
+_BOILER = (
+    "cookie policy accept all rights reserved terms of service privacy statement "
+    "subscribe to our newsletter follow us on social media copyright"
+).split()
+
+
+def _base_text(rng: random.Random, min_words: int = 8, max_words: int = 300) -> str:
+    n = rng.randint(min_words, max_words)
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+def make_pages(
+    n_clusters: int = 60,
+    n_singletons: int = 200,
+    seed: int = 42,
+    with_containment: bool = True,
+) -> tuple[pa.Table, pa.Table]:
+    """Returns (pages table, truth table).
+
+    truth columns: url, cluster_id (−1 singleton), kind
+    ('base'|'exact'|'near'|'containment'|'singleton').
+    """
+    rng = random.Random(seed)
+    urls: list[str] = []
+    texts: list[str] = []
+    cluster_ids: list[int] = []
+    kinds: list[str] = []
+
+    def add(text: str, cid: int, kind: str) -> None:
+        i = len(urls)
+        urls.append(f"https://site{i % 17}.example/p/{i}")
+        texts.append(text)
+        cluster_ids.append(cid)
+        kinds.append(kind)
+
+    for c in range(n_clusters):
+        base = _base_text(rng)
+        add(base, c, "base")
+        n_members = rng.randint(1, 5)
+        for m in range(n_members):
+            kind = rng.choice(["exact", "near", "near"])
+            if kind == "exact":
+                add(base, c, "exact")
+            else:
+                row_seed = (seed * 1_000_003 + c * 101 + m) & 0x7FFFFFFF
+                add(misspell(base, row_seed), c, "near")
+        if with_containment and rng.random() < 0.3:
+            pre = " ".join(rng.choice(_BOILER) for _ in range(rng.randint(20, 60)))
+            post = " ".join(rng.choice(_BOILER) for _ in range(rng.randint(20, 60)))
+            add(f"{pre} {base} {post}", c, "containment")
+
+    for _ in range(n_singletons):
+        add(_base_text(rng), -1, "singleton")
+
+    n = len(urls)
+    order = list(range(n))
+    rng.shuffle(order)  # deterministic shuffle so clusters aren't adjacent
+    urls = [urls[i] for i in order]
+    texts = [texts[i] for i in order]
+    cluster_ids = [cluster_ids[i] for i in order]
+    kinds = [kinds[i] for i in order]
+
+    base_ts = 1_600_000_000_000_000  # µs epoch
+    ts = pa.array(np.arange(n, dtype=np.int64) * 60_000_000 + base_ts,
+                  type=pa.timestamp("us"))
+    langs = pa.array([("en", "de", "fr")[i % 11 % 3] if i % 11 < 3 else "en"
+                      for i in range(n)])
+    html = pa.array([b"<html><body>" + t.encode() + b"</body></html>" for t in texts],
+                    type=pa.binary())
+    pages = pa.table({
+        "url": pa.array(urls), "warc_ts": ts, "html": html,
+        "text": pa.array(texts), "lang": langs,
+    })
+    truth = pa.table({
+        "url": pa.array(urls),
+        "cluster_id": pa.array(cluster_ids, pa.int64()),
+        "kind": pa.array(kinds),
+    })
+    return pages, truth
+
+
+def true_dup_pairs(truth: pa.Table, include_containment: bool = False) -> set[tuple[str, str]]:
+    """Ground-truth near/exact dup url pairs derivable from the truth table
+    (containment pages excluded unless asked — FIXTURES.md §1)."""
+    import collections
+
+    groups: dict[int, list[str]] = collections.defaultdict(list)
+    for url, cid, kind in zip(truth["url"].to_pylist(),
+                              truth["cluster_id"].to_pylist(),
+                              truth["kind"].to_pylist()):
+        if cid == -1:
+            continue
+        if kind == "containment" and not include_containment:
+            continue
+        groups[cid].append(url)
+    pairs: set[tuple[str, str]] = set()
+    for members in groups.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return pairs

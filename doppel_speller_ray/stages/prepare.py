@@ -1,0 +1,72 @@
+"""Fused normalize → tokenize → shingle → hash stage (stateless, Arrow).
+
+One ``map_batches`` pass per input batch produces every per-document column
+the dedup tiers need — the columnar analogue of the reference's
+``read_and_transform_input_csv`` derived columns
+(``/root/reference/doppelspeller/common.py:50-72``): ``transformed_title`` →
+``norm_text``, ``words``/``number_of_words`` → ``n_words``, ``n_grams`` set →
+``shingles`` (sorted unique ``list<uint64>``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DedupConfig
+from ..functions.hashing import hash_strings
+from ..functions.normalize import normalize_array, tokenize_counts
+from ..functions.shingles import shingle_array
+
+
+def prepare_batch(
+    batch: pa.Table,
+    *,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> pa.Table:
+    """pages/documents batch → docs batch.
+
+    Output schema: doc_id:int64, norm_text:string, norm_hash:uint64,
+    n_words:int64, n_chars:int64, shingles:list<uint64>, n_shingles:int64
+    (+ passthrough ``keep_cols``).
+    """
+    norm = normalize_array(batch[text_col], cfg.max_chars, cfg.n_grams)
+    shingles = shingle_array(norm, cfg.n_grams, cfg.seed)
+    norm_hash = hash_strings(norm, cfg.seed)
+    n_words, n_chars = tokenize_counts(norm)
+    cols: dict[str, object] = {
+        "doc_id": batch[id_col].cast(pa.int64()),
+        "norm_text": norm,
+        "norm_hash": pa.array(norm_hash, type=pa.uint64()),
+        "n_words": n_words,
+        "n_chars": n_chars.cast(pa.int64()),
+        "shingles": shingles,
+        "n_shingles": pc.list_value_length(shingles).cast(pa.int64()),
+    }
+    for c in keep_cols:
+        cols[c] = batch[c]
+    return pa.table(cols)
+
+
+def url_to_doc_id(urls: pa.Array | pa.ChunkedArray, seed: int = 0) -> pa.Array:
+    """Stable int64 doc_id from a url column (for pages tables without ids).
+
+    Hash-derived ids are how a 10^12-row corpus gets ids without a global
+    sequence; masked to 63 bits so the id stays a non-negative int64.
+    """
+    h = hash_strings(urls, seed) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    return pa.array(h.astype(np.int64), type=pa.int64())
+
+
+def prepare_pages_batch(batch: pa.Table, *, cfg: DedupConfig, keep_cols: tuple[str, ...] = ("url",)) -> pa.Table:
+    """pages (url, warc_ts, html, text, lang — BASELINE input_hint) → docs.
+
+    Text extraction is the identity on the given ``text`` column (the
+    input_hint provides extracted text; the html column stays opaque binary).
+    """
+    batch = batch.append_column("doc_id", url_to_doc_id(batch["url"], cfg.seed))
+    return prepare_batch(batch, cfg=cfg, id_col="doc_id", text_col="text", keep_cols=keep_cols)

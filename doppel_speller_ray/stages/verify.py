@@ -1,0 +1,114 @@
+"""Candidate-pair verification: exact Jaccard + gated Levenshtein.
+
+The reference's verification chain (``/root/reference/doppelspeller/
+predict.py:140-156``): deletion-ratio length prefilter → Levenshtein ratio →
+token-sort fallback, threshold 94 — applied here per candidate pair, after an
+exact shingle-set Jaccard computed from the ``list<uint64>`` columns (the
+reference's IDF-weighted Jaccard lives in the title-matching compat mode;
+plain Jaccard is the standard web-dedup criterion).
+
+Payload attachment is a hash join (``Dataset.join``) of the pair table
+against the docs table on each side id — both sides scale-out, no broadcast
+of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DedupConfig
+from ..functions.lev import deletion_ratio, lev_ratio, token_sort_ratio
+
+
+def attach_payload(pairs_ds, docs_ds, num_partitions: int = 16, with_text: bool = True):
+    """pairs(left_id,right_id,...) ⋈ docs → + left_/right_ shingles/text.
+
+    Shingle lists are packed into a binary column for the join (acero
+    rejects list-typed payload) and decoded vectorized on the other side.
+    """
+    from ..functions.shingles import lists_to_binary
+
+    def rename(side):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {f"{side}_id": t["doc_id"],
+                    f"{side}_shingles": lists_to_binary(t["shingles"])}
+            if with_text:
+                cols[f"{side}_norm_text"] = t["norm_text"]
+            return pa.table(cols)
+        return fn
+
+    cols = ["doc_id", "shingles"] + (["norm_text"] if with_text else [])
+    payload = docs_ds.select_columns(cols)
+    left_payload = payload.map_batches(rename("left"), batch_format="pyarrow")
+    right_payload = payload.map_batches(rename("right"), batch_format="pyarrow")
+    out = pairs_ds.join(
+        left_payload, join_type="inner", num_partitions=num_partitions,
+        on=("left_id",), right_on=("left_id",),
+    )
+    out = out.join(
+        right_payload, join_type="inner", num_partitions=num_partitions,
+        on=("right_id",), right_on=("right_id",),
+    )
+    return out
+
+
+def jaccard_pairs_batch(batch: pa.Table) -> np.ndarray:
+    """Vector of exact Jaccards for a batch of pairs with packed-binary
+    shingle columns."""
+    from ..functions.shingles import binary_to_flat
+
+    lv, lo = binary_to_flat(batch["left_shingles"])
+    rv, ro = binary_to_flat(batch["right_shingles"])
+    n = len(batch)
+    out = np.empty(n, dtype=np.float32)
+    for i in range(n):
+        a = lv[lo[i]: lo[i + 1]]
+        b = rv[ro[i]: ro[i + 1]]
+        if len(a) == 0 and len(b) == 0:
+            out[i] = 1.0
+            continue
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        union = len(a) + len(b) - inter
+        out[i] = inter / union if union else 1.0
+    return out
+
+
+def verify_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
+    """Adds jaccard, lev_ratio (gated chain), is_dup to a payload-attached
+    pair batch; drops the payload columns."""
+    jac = jaccard_pairs_batch(batch)
+
+    n = len(batch)
+    lev = np.zeros(n, dtype=np.int16)
+    if cfg.use_levenshtein and n:
+        lt = batch["left_norm_text"].to_pylist()
+        rt = batch["right_norm_text"].to_pylist()
+        thr = cfg.lev_threshold
+        cap = cfg.lev_max_chars
+        for i in range(n):
+            a, b = lt[i], rt[i]
+            if len(a) > cap or len(b) > cap:
+                # long docs: length-proportional sampling would bias the
+                # ratio; compare prefixes (normalized text is whitespace-
+                # collapsed so prefixes align well for near-dups)
+                a, b = a[:cap], b[:cap]
+            if deletion_ratio(a, b) < thr:
+                lev[i] = 0
+                continue
+            r = lev_ratio(a, b)
+            lev[i] = token_sort_ratio(a, b) if r <= thr else r
+
+    jac_ok = jac >= cfg.jaccard_threshold
+    if cfg.use_levenshtein:
+        is_dup = jac_ok | (lev > cfg.lev_threshold)
+    else:
+        is_dup = jac_ok
+
+    keep = [c for c in batch.column_names
+            if not c.startswith(("left_", "right_")) or c in ("left_id", "right_id")]
+    out = batch.select(keep)
+    out = out.append_column("jaccard", pa.array(jac, type=pa.float32()))
+    out = out.append_column("lev_ratio", pa.array(lev, type=pa.int16()))
+    out = out.append_column("is_dup", pa.array(is_dup, type=pa.bool_()))
+    return out

@@ -1,0 +1,105 @@
+"""Connected components over verified duplicate pairs (SURVEY.md §2.5 A10).
+
+Two implementations behind one interface:
+
+* ``clusters_from_pairs`` — driver-side union-find with path compression.
+  The verified-pair set is orders of magnitude smaller than the corpus
+  (only near-duplicate docs appear in it), so streaming it to the driver via
+  ``iter_batches`` is the pragmatic default; the result is a compact
+  doc_id → cluster_id dict that is broadcast (``ray.put``) back into a
+  ``map_batches`` assignment over the full corpus.
+* ``connected_components_distributed`` (state/cc.py) — iterative hash-min
+  label propagation as Dataset groupbys, for pair sets too large for one
+  driver heap.
+
+Cluster ids are canonicalized to the minimum doc_id in the component, making
+output deterministic regardless of pair order or partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class UnionFind:
+    """Union-find with path halving; roots canonicalized to min member."""
+
+    __slots__ = ("parent", "nodes")
+
+    def __init__(self) -> None:
+        self.parent: dict[int, int] = {}
+        self.nodes: set[int] = set()
+
+    def find(self, x: int) -> int:
+        parent = self.parent
+        root = parent.get(x, x)
+        while root != parent.get(root, root):
+            parent[root] = parent.get(parent[root], parent[root])
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        self.nodes.add(a)
+        self.nodes.add(b)
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        # canonical root = smaller id → deterministic cluster ids
+        if rb < ra:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+
+    def union_arrays(self, left: np.ndarray, right: np.ndarray) -> None:
+        for a, b in zip(left.tolist(), right.tolist()):
+            self.union(a, b)
+
+    def components(self) -> dict[int, int]:
+        """node → min-id root, for every node ever touched."""
+        return {x: self.find(x) for x in self.nodes}
+
+
+def clusters_from_pairs(pairs_ds, dup_only: bool = True) -> dict[int, int]:
+    """Stream a pair Dataset (left_id, right_id [, is_dup]) into union-find.
+
+    Returns doc_id → cluster_id for documents that belong to a non-trivial
+    cluster. Documents absent from the dict are singletons (cluster = self).
+    """
+    uf = UnionFind()
+    schema = pairs_ds.schema()
+    if schema is None:  # fully empty dataset (no pairs at all)
+        return {}
+    has_flag = "is_dup" in schema.names
+    cols = ["left_id", "right_id"] + (["is_dup"] if has_flag else [])
+    for batch in pairs_ds.select_columns(cols).iter_batches(
+        batch_size=65536, batch_format="numpy"
+    ):
+        left = batch["left_id"].astype(np.int64)
+        right = batch["right_id"].astype(np.int64)
+        if has_flag and dup_only:
+            mask = batch["is_dup"].astype(bool)
+            left, right = left[mask], right[mask]
+        uf.union_arrays(left, right)
+    return uf.components()
+
+
+def assign_clusters(docs_ds, mapping: dict[int, int], id_col: str = "doc_id"):
+    """docs → (doc_id, cluster_id) via the broadcast component mapping.
+
+    ``mapping`` is put in the object store ONCE (ray.put); each task reads
+    the shared copy — it is never re-shipped per batch.
+    """
+    import pyarrow as pa
+    import ray
+
+    ref = ray.put(mapping)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out = np.fromiter((m.get(int(i), int(i)) for i in ids), dtype=np.int64,
+                          count=len(ids))
+        return pa.table({id_col: batch[id_col], "cluster_id": pa.array(out, pa.int64())})
+
+    return docs_ds.map_batches(assign, batch_format="pyarrow")

@@ -1,0 +1,24 @@
+"""Small execution utilities."""
+
+from __future__ import annotations
+
+
+def default_num_partitions(cap: int = 64) -> int:
+    """Join/shuffle partition count scaled to the current cluster.
+
+    Hash-join aggregator pools reserve resources per partition; asking for
+    more partitions than CPUs on a small cluster can starve the rest of the
+    DAG into a backpressure deadlock (observed at num_cpus=4 with
+    num_partitions=16). At scale, callers pass an explicit count sized to
+    the data instead (e.g. total_bytes / 512MB).
+    """
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        else:
+            cpus = 8
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus))

@@ -1,0 +1,109 @@
+"""Small-corpus conformance (SURVEY.md §5b): planted dup clusters →
+dup-pair recall ≥ 0.99, plus the per-url byte-identical norm_text invariant
+(BASELINE input_hint)."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from doppel_speller_ray.config import DedupConfig
+from doppel_speller_ray.functions.normalize import transform_text
+from doppel_speller_ray.sources.fixtures import make_pages, true_dup_pairs
+
+
+@pytest.fixture(scope="module")
+def pages_and_truth():
+    return make_pages(n_clusters=50, n_singletons=120, seed=42)
+
+
+def test_fixture_deterministic(pages_and_truth):
+    pages2, truth2 = make_pages(n_clusters=50, n_singletons=120, seed=42)
+    assert pages_and_truth[0].equals(pages2)
+    assert pages_and_truth[1].equals(truth2)
+
+
+def test_dedup_recall(ray_session, pages_and_truth):
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.dedup import dedup_pipeline
+
+    pages, truth = pages_and_truth
+    cfg = DedupConfig(max_chars=None)
+    ds = rd.from_arrow(pages)
+    res = dedup_pipeline(ds, cfg, id_col="url", text_col="text")
+
+    # map doc_id → url via the docs dataset (url kept as passthrough)
+    docs = res.docs.select_columns(["doc_id", "url"]).take_all()
+    id_to_url = {r["doc_id"]: r["url"] for r in docs}
+    assert len(id_to_url) == pages.num_rows  # no id collisions at this scale
+
+    clusters = res.clusters.take_all()
+    by_cluster = collections.defaultdict(list)
+    for r in clusters:
+        by_cluster[r["cluster_id"]].append(id_to_url[r["doc_id"]])
+
+    predicted = set()
+    for members in by_cluster.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                predicted.add((members[i], members[j]))
+
+    truth_pairs = true_dup_pairs(truth, include_containment=False)
+    hit = len(truth_pairs & predicted)
+    recall = hit / len(truth_pairs)
+    assert recall >= 0.99, f"recall {recall:.4f} ({hit}/{len(truth_pairs)})"
+
+    # precision over non-containment urls: predicted pairs must be real dups
+    containment_urls = {u for u, k in zip(truth["url"].to_pylist(), truth["kind"].to_pylist())
+                        if k == "containment"}
+    url_cluster = {u: c for u, c in zip(truth["url"].to_pylist(), truth["cluster_id"].to_pylist())}
+    wrong = sum(
+        1 for a, b in predicted
+        if a not in containment_urls and b not in containment_urls
+        and (url_cluster[a] != url_cluster[b] or url_cluster[a] == -1)
+    )
+    scored = sum(1 for a, b in predicted
+                 if a not in containment_urls and b not in containment_urls)
+    precision = 1 - wrong / max(scored, 1)
+    assert precision >= 0.95, f"precision {precision:.4f}"
+
+
+def test_norm_text_invariant(ray_session, pages_and_truth):
+    """Per-url norm_text must be byte-identical to reference transform_title
+    semantics applied to the page text."""
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.dedup import build_docs
+
+    pages, _ = pages_and_truth
+    cfg = DedupConfig(max_chars=None)
+    docs = build_docs(rd.from_arrow(pages), cfg, id_col="url", text_col="text")
+    got = {r["url"]: r["norm_text"]
+           for r in docs.select_columns(["url", "norm_text"]).take_all()}
+    for url, text in zip(pages["url"].to_pylist(), pages["text"].to_pylist()):
+        assert got[url] == transform_text(text, max_chars=None), url
+
+
+def test_exact_dedup_tier(ray_session):
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.dedup import build_docs
+    from doppel_speller_ray.stages.exact import exact_dedup, split_exact
+
+    rows = [
+        {"doc_id": 1, "text": "Hello-World"},
+        {"doc_id": 2, "text": "hello world"},      # same normalized text
+        {"doc_id": 3, "text": "HELLO  world!!"},   # same normalized text
+        {"doc_id": 4, "text": "something else"},
+    ]
+    cfg = DedupConfig()
+    docs = build_docs(rd.from_items(rows), cfg)
+    with_rep = exact_dedup(docs)
+    reps, pairs = split_exact(with_rep)
+    rep_rows = {r["doc_id"] for r in reps.select_columns(["doc_id"]).take_all()}
+    assert rep_rows == {1, 4}
+    got_pairs = {(r["left_id"], r["right_id"]) for r in pairs.take_all()}
+    assert got_pairs == {(1, 2), (1, 3)}

