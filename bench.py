@@ -1,0 +1,119 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+in a fresh local Ray session with num_cpus=$RAY_GRAFT_CPUS (default 32) and
+prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+`--scaling` re-runs the headline dedup pipeline in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs +
+scaling efficiency (the in-sandbox stand-in for the north rule's N→4N-node
+cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    import ray.data as rd
+
+    _init_ray(num_cpus)
+
+    from doppel_speller_ray.config import DedupConfig
+    from doppel_speller_ray.pipelines.dedup import dedup_pipeline
+    from doppel_speller_ray.pipelines import queries as Q
+
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    rd.read_parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+
+    # headline: full near-dup detection + clustering
+    t0 = time.perf_counter()
+    res = dedup_pipeline(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        DedupConfig(max_chars=None),
+    )
+    n_clusters = res.clusters.count()
+    timings["dedup_pipeline"] = time.perf_counter() - t0
+
+    # secondary pipelines (operator coverage under timing)
+    for name in ("normalize", "word_df", "ngram_df", "exact_text_groups",
+                 "token_count", "simhash", "fingerprint", "lineitem_agg",
+                 "events_hourly", "ann_topk"):
+        t0 = time.perf_counter()
+        ds = Q.QUERIES[name](sf_dir)
+        # consume without driver materialization of big results
+        if hasattr(ds, "count"):
+            ds.count()
+        timings[name] = time.perf_counter() - t0
+
+    headline = timings["dedup_pipeline"]
+    out = {
+        "metric": "dedup_e2e_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_clusters": n_clusters,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, two parallelism levels (8 vs 32 CPUs)."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    tp_lo, tp_hi = lo["docs_per_sec"], hi["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "docs_per_sec_8": tp_lo, "docs_per_sec_32": tp_hi,
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

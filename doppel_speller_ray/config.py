@@ -45,6 +45,10 @@ class DedupConfig:
     lev_threshold: int = 94          # LEVENSHTEIN_RATIO_THRESHOLD (settings.py:75)
     use_levenshtein: bool = True     # gated Levenshtein chain (predict.py:140-156)
     lev_max_chars: int = 512         # cap text length fed to the O(n*m/64) kernel
+    lev_gate_min: float = 0.40       # run the Levenshtein chain only for
+    #   borderline pairs (lev_gate_min ≤ jaccard < jaccard_threshold): above
+    #   the Jaccard gate the pair is already a dup, far below it a ratio > 94
+    #   is impossible for texts this different — skipping there is pure win
 
     # --- execution
     batch_size: int = 1024           # rows per map_batches call

