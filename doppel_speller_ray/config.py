@@ -34,6 +34,16 @@ class DedupConfig:
     lsh_rows: int = 8                # ... of r rows each; b*r == num_perms
     seed: int = 42
 
+    # --- candidate prefilter: 64-bit SimHash carried through the band
+    #     shuffle (8 B/doc/band); pairs whose Hamming distance exceeds this
+    #     are dropped BEFORE the payload joins + exact verify. Measured on
+    #     misspelling near-dups (jaccard ≥ 0.8, 1–2 perturbations): hamming
+    #     ≤ 14 (p99 = 12); junk LSH collisions at jaccard 0.5–0.7: hamming
+    #     15–30. 16 keeps a margin of 2 bits above the observed true-dup
+    #     max while dropping most junk before the payload joins. None
+    #     disables.
+    simhash_max_hamming: int | None = 16
+
     # --- skew handling (north_rule: salt/split hot LSH buckets)
     max_bucket_size: int = 64        # buckets larger than this are chained,
     #   not all-paired: each doc pairs with its `chain_width` sorted

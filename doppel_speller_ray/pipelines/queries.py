@@ -711,3 +711,134 @@ ORACLES = {
     "customer_orders": SQL_CUSTOMER_ORDERS,
     "events_hourly": SQL_EVENTS_HOURLY,
 }
+
+
+# ---------------------------------------------------------------------------
+# Containment, LSH-embedding, distributed CC, title matching (added coverage)
+# ---------------------------------------------------------------------------
+
+def q_containment_pairs(sf_dir: str):
+    """Containment dedup (D6): each document's 40%-prefix planted as a
+    derived page (doc_id + 1_000_000); the winnowing stage must pair every
+    prefix with its source. Rows-only check (not SQL-expressible)."""
+    def derive(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        texts = norm.to_pylist()
+        ids = t["doc_id"].to_pylist()
+        out_ids = list(ids) + [i + 1_000_000 for i in ids]
+        out_txt = texts + [x[: max(40, int(len(x) * 0.4))] for x in texts]
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "norm_text": pa.array(out_txt)})
+
+    from ..stages.containment import containment_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(derive, batch_format="pyarrow")
+    return containment_pairs(docs, min_containment=0.6)
+
+
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Scale-path embedding near-dup: hyperplane LSH buckets. Planted
+    near-identical copies (vec_id + 1_000_000, tiny perturbation) must be
+    recovered. Rows-only check."""
+    def derive(t: pa.Table) -> pa.Table:
+        from ..stages.embed import batch_matrix
+
+        mat = batch_matrix(t)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        rng = np.random.default_rng(7)
+        near = mat + rng.normal(0, 0.01, mat.shape)
+        allm = np.concatenate([mat, near]).astype(np.float32)
+        all_ids = np.concatenate([ids, ids + 1_000_000])
+        return pa.table({
+            "vec_id": pa.array(all_ids, pa.int64()),
+            "embedding": pa.array(list(allm), pa.list_(pa.float32())),
+        })
+
+    from ..stages.embed import embedding_neardup_lsh
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(derive, batch_format="pyarrow")
+    return embedding_neardup_lsh(emb, threshold=0.98, n_planes=12, n_tables=6)
+
+
+def q_cc_labels(sf_dir: str):
+    """Distributed connected components (A10) on derived chain edges
+    (doc_id → doc_id+1 within groups of 5): labels must equal
+    doc_id − doc_id % 5 — which IS the SQL oracle."""
+    import ray.data as rd
+
+    from ..state.cc import connected_components_distributed
+
+    ids = _docs(sf_dir, ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (d % 5) != 4
+        return pa.table({"left_id": pa.array(d[keep], pa.int64()),
+                         "right_id": pa.array(d[keep] + 1, pa.int64())})
+
+    labels = connected_components_distributed(ids.map_batches(edges, batch_format="pyarrow"))
+    return labels
+
+
+SQL_CC_LABELS = """
+SELECT doc_id AS node, doc_id - (doc_id % 5) AS label FROM documents
+"""
+
+
+def q_match_titles(sf_dir: str):
+    """Reference-compat tiered title matching over the part table: truth =
+    (p_partkey, p_name); queries = seeded misspellings of each name. Every
+    tier (exact, IDF-Jaccard top-k + gated Levenshtein, not-found) runs.
+    Rows-only check (the tier chain is not SQL-expressible)."""
+    import ray.data as rd
+
+    from ..config import MatchConfig
+    from ..functions.misspell import misspell
+    from .matching import match_pipeline
+
+    from ray.data.aggregate import Min
+
+    # part names repeat heavily (≈100 distinct for 2000 rows); duplicate
+    # truth rows make every tier-2 match ambiguous (the reference's
+    # _remove_duplicated_matches drop, predict.py:158-161) — dedupe first
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]) \
+        .groupby("p_name").aggregate(Min("p_partkey", alias_name="p_partkey"))
+
+    def to_queries(t: pa.Table) -> pa.Table:
+        ids = t["p_partkey"].to_pylist()
+        names = t["p_name"].to_pylist()
+        return pa.table({
+            "test_index": pa.array(ids, pa.int64()),
+            "title": pa.array([misspell(n, 12345 + i) for i, n in zip(ids, names)]),
+        })
+
+    test = part.map_batches(to_queries, batch_format="pyarrow")
+    cfg = MatchConfig(top_k=10, concurrency=2)
+    return match_pipeline(test, part, cfg,
+                          truth_id_col="p_partkey", truth_text_col="p_name")
+
+
+def q_winnow(sf_dir: str):
+    """Per-doc winnowing fingerprint count (rows-only)."""
+    from ..functions.textstats import winnow_fingerprints
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        n = [len(winnow_fingerprints(x, seed=_QCFG.seed)) for x in norm.to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "n_fingerprints": pa.array(n, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+QUERIES.update({
+    "containment_pairs": q_containment_pairs,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "cc_labels": q_cc_labels,
+    "match_titles": q_match_titles,
+    "winnow": q_winnow,
+})
+
+ORACLES.update({
+    "cc_labels": SQL_CC_LABELS,
+})

@@ -136,6 +136,63 @@ def make_pages(
     return pages, truth
 
 
+_COMPANY_PARTS = {
+    "prefix": ["global", "united", "first", "north", "pacific", "alpha", "omega",
+               "inter", "euro", "trans", "meta", "neo", "prime", "royal"],
+    "stem": ["tech", "soft", "data", "log", "med", "agro", "chem", "bank",
+             "steel", "motor", "tex", "air", "net", "build", "print", "food"],
+    "suffix": ["solutions", "systems", "industries", "holdings", "partners",
+               "group", "labs", "works", "dynamics", "logistics", "ventures"],
+    "legal": ["inc", "llc", "gmbh", "ltd", "b.v.", "s.a.", "corp", "plc", "& co"],
+}
+
+
+def make_titles(n_truth: int = 400, n_test: int = 200, not_found_frac: float = 0.3,
+                seed: int = 42) -> tuple[pa.Table, pa.Table, pa.Table]:
+    """Reference-compat title-matching fixtures (FIXTURES.md §2):
+    (truth, test, test_with_actuals). Test rows are misspelled truth names
+    (1 perturbation, seeded) plus a fraction of names absent from truth
+    (actual title_id = −1)."""
+    rng = random.Random(seed * 31 + 5)
+    names: list[str] = []
+    seen: set[str] = set()
+    while len(names) < n_truth + int(n_test * not_found_frac) + 10:
+        nm = " ".join([
+            rng.choice(_COMPANY_PARTS["prefix"]) + rng.choice(_COMPANY_PARTS["stem"]),
+            rng.choice(_COMPANY_PARTS["suffix"]),
+            rng.choice(_COMPANY_PARTS["legal"]),
+        ])
+        if rng.random() < 0.4:
+            nm = nm.title()
+        if nm.lower() not in seen:
+            seen.add(nm.lower())
+            names.append(nm)
+    truth_names = names[:n_truth]
+    unknown_names = names[n_truth:]
+    truth = pa.table({
+        "title_id": pa.array(range(1, n_truth + 1), pa.int64()),
+        "title": pa.array(truth_names),
+    })
+    t_idx, t_title, t_actual = [], [], []
+    for i in range(n_test):
+        t_idx.append(i)
+        if rng.random() < not_found_frac and unknown_names:
+            nm = unknown_names[i % len(unknown_names)]
+            t_title.append(nm)
+            t_actual.append(-1)
+        else:
+            j = rng.randrange(n_truth)
+            t_title.append(misspell(truth_names[j], seed * 1_000_003 + i,
+                                    n_perturbations=1))
+            t_actual.append(j + 1)
+    test = pa.table({"test_index": pa.array(t_idx, pa.int64()),
+                     "title": pa.array(t_title)})
+    actuals = pa.table({"test_index": pa.array(t_idx, pa.int64()),
+                        "title": pa.array(t_title),
+                        "title_id": pa.array(t_actual, pa.int64())})
+    return truth, test, actuals
+
+
 def true_dup_pairs(truth: pa.Table, include_containment: bool = False) -> set[tuple[str, str]]:
     """Ground-truth near/exact dup url pairs derivable from the truth table
     (containment pages excluded unless asked — FIXTURES.md §1)."""

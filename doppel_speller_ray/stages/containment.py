@@ -1,0 +1,141 @@
+"""Containment-duplicate detection (SURVEY.md §2.7 D6, north_star's
+substring stage): pages whose text is (mostly) contained in another page.
+
+LSH on whole-document shingle sets misses low-Jaccard containment (a short
+page embedded in a long boilerplate-heavy page). This stage uses winnowing
+fingerprints (Schleimer et al., SIGMOD'03 — functions/textstats.py): any
+shared substring of length ≥ w + k − 1 yields shared fingerprints, so
+containment shows up as |F(A) ∩ F(B)| / min(|F(A)|, |F(B)|) ≈ 1 regardless
+of the size ratio.
+
+Dataflow (no joins — sizes ride along with the inverted index):
+
+    docs → map_batches winnow → explode (fp, doc_id, n_fp)
+         → groupby(fp % P) → in-partition pair emission with a
+           stop-fingerprint cap (fps shared by > max_df docs are dropped and
+           counted — boilerplate fingerprints would otherwise explode pairs)
+         → groupby(pair-hash % P) → shared-count → containment score filter
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import combine_u64
+from ..functions.textstats import winnow_fingerprints
+from ..util import default_num_partitions
+
+
+def winnow_batch(batch: pa.Table, *, k: int = 8, w: int = 16, seed: int = 42,
+                 id_col: str = "doc_id", text_col: str = "norm_text") -> pa.Table:
+    """docs batch → exploded (fp, doc_id, n_fp) rows."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    texts = batch[text_col].to_pylist()
+    fps = [winnow_fingerprints(t, k, w, seed) for t in texts]
+    lens = np.array([len(f) for f in fps], dtype=np.int64)
+    flat = np.concatenate(fps) if fps else np.empty(0, np.uint64)
+    return pa.table({
+        "fp": pa.array(flat, pa.uint64()),
+        "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+        "n_fp": pa.array(np.repeat(lens, lens), pa.int64()),
+    })
+
+
+def containment_pairs(docs_ds, *, min_containment: float = 0.7, k: int = 8,
+                      w: int = 16, seed: int = 42, max_df: int = 64,
+                      min_fps: int = 4, num_partitions: int | None = None):
+    """docs Dataset (doc_id, norm_text) → (left_id, right_id, containment).
+
+    ``containment`` = shared fingerprints / min(total fingerprints); pairs
+    below ``min_containment`` are dropped. Docs with < ``min_fps``
+    fingerprints (shorter than ~w+k chars) are skipped — too little signal.
+    """
+    P = num_partitions or default_num_partitions()
+
+    fps = docs_ds.map_batches(
+        winnow_batch, batch_format="pyarrow",
+        fn_kwargs={"k": k, "w": w, "seed": seed},
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        f = t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("part", pa.array((f % np.uint64(P)).astype(np.int64),
+                                                pa.int64()))
+
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
+        f = group["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nfp = group["n_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keepdoc = nfp >= min_fps
+        f, ids, nfp = f[keepdoc], ids[keepdoc], nfp[keepdoc]
+        order = np.lexsort((ids, f))
+        f, ids, nfp = f[order], ids[order], nfp[order]
+        _, starts, counts = np.unique(f, return_index=True, return_counts=True)
+        out = []
+        n_stop = 0
+        for s, c in zip(starts, counts):
+            if c < 2:
+                continue
+            if c > max_df:      # stop-fingerprint: boilerplate shared by many
+                n_stop += 1
+                continue
+            seg_ids = ids[s:s + c]
+            seg_n = nfp[s:s + c]
+            iu = np.triu_indices(c, k=1)
+            out.append((seg_ids[iu[0]], seg_ids[iu[1]], seg_n[iu[0]], seg_n[iu[1]]))
+        if not out:
+            z = np.empty(0, np.int64)
+            return pa.table({"left_id": pa.array(z, pa.int64()),
+                             "right_id": pa.array(z, pa.int64()),
+                             "n_left": pa.array(z, pa.int64()),
+                             "n_right": pa.array(z, pa.int64())})
+        l = np.concatenate([o[0] for o in out])
+        r = np.concatenate([o[1] for o in out])
+        nl = np.concatenate([o[2] for o in out])
+        nr = np.concatenate([o[3] for o in out])
+        # canonical order (left < right)
+        swap = l > r
+        l2 = np.where(swap, r, l)
+        r2 = np.where(swap, l, r)
+        nl2 = np.where(swap, nr, nl)
+        nr2 = np.where(swap, nl, nr)
+        keep = l2 != r2
+        return pa.table({"left_id": pa.array(l2[keep], pa.int64()),
+                         "right_id": pa.array(r2[keep], pa.int64()),
+                         "n_left": pa.array(nl2[keep], pa.int64()),
+                         "n_right": pa.array(nr2[keep], pa.int64())})
+
+    shared = fps.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(pairs_in_partition, batch_format="pyarrow")
+
+    def add_pp(t: pa.Table) -> pa.Table:
+        h = combine_u64(t["left_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                        t["right_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return t.append_column("ppart", pa.array((h % np.uint64(P)).astype(np.int64),
+                                                 pa.int64()))
+
+    def score_partition(group: pa.Table) -> pa.Table:
+        l = group["left_id"].to_numpy(zero_copy_only=False)
+        r = group["right_id"].to_numpy(zero_copy_only=False)
+        nl = group["n_left"].to_numpy(zero_copy_only=False)
+        nr = group["n_right"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((r, l))
+        l, r, nl, nr = l[order], r[order], nl[order], nr[order]
+        new = np.ones(len(l), dtype=bool)
+        if len(l) > 1:
+            new[1:] = (np.diff(l) != 0) | (np.diff(r) != 0)
+        run_id = np.cumsum(new) - 1
+        shared_count = np.bincount(run_id)
+        firsts = np.nonzero(new)[0]
+        lu, ru, nlu, nru = l[firsts], r[firsts], nl[firsts], nr[firsts]
+        cont = shared_count / np.minimum(nlu, nru)
+        keep = cont >= min_containment
+        return pa.table({
+            "left_id": pa.array(lu[keep], pa.int64()),
+            "right_id": pa.array(ru[keep], pa.int64()),
+            "containment": pa.array(np.round(cont[keep], 6), pa.float64()),
+        })
+
+    return shared.map_batches(add_pp, batch_format="pyarrow") \
+        .groupby("ppart").map_groups(score_partition, batch_format="pyarrow")

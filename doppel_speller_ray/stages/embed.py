@@ -1,0 +1,185 @@
+"""Embedding-column operators: brute-force cosine top-k (baseline) and
+random-hyperplane-LSH near-dup bucketing (scale path).
+
+The embedding column is ``list<float>``; per-batch work is numpy matmul
+against broadcast state (the query matrix / the hyperplane matrix), i.e. a
+stateless vectorized ``map_batches`` — never per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(rows, dim) float64 matrix from a list<float> column, zero-copy-ish."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+        return np.asarray(arr.values, dtype=np.float64).reshape(len(arr), dim)
+    offsets = np.asarray(arr.offsets)
+    lens = np.diff(offsets)
+    dim = int(lens[0]) if len(lens) else 0
+    if not (lens == dim).all():
+        raise ValueError("ragged embedding column")
+    return np.asarray(arr.values, dtype=np.float64).reshape(len(arr), dim)
+
+
+def normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    return mat / np.where(norms == 0, 1, norms)[:, None]
+
+
+def ann_topk(emb_ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id"):
+    """Brute-force cosine top-k of each query row against the dataset.
+
+    queries: (n_queries, dim). Broadcast ONCE via ray.put; per batch one
+    matmul scores every (query, row) pair; a final per-query groupby takes
+    the top-k (n_queries is small — the groupby is over n_queries × k·B
+    partial rows thanks to the in-batch top-k cut)."""
+    import ray
+
+    qn = normalize_rows(np.asarray(queries, dtype=np.float64))
+    ref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        mat = normalize_rows(batch_matrix(batch))
+        sims = mat @ q.T  # (rows, n_queries)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # in-batch top-k per query: only k rows per query leave each batch
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, n_queries)
+        n_q = sims.shape[1]
+        qidx = np.repeat(np.arange(n_q), kk)
+        ridx = top.T.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(qidx, pa.int64()),
+            id_col: pa.array(ids[ridx], pa.int64()),
+            "sim": pa.array(sims[ridx, qidx], pa.float64()),
+        })
+
+    partials = emb_ds.map_batches(score, batch_format="pyarrow")
+
+    def final_topk(group):
+        g = group.sort_values("sim", ascending=False).head(k)
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def hyperplane_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit codes (SimHash for vectors, Charikar'02): uint64 per row."""
+    bits = (mat @ planes.T) > 0  # (rows, n_planes)
+    weights = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def make_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def embedding_neardup_lsh(emb_ds, threshold: float = 0.9, *, n_planes: int = 16,
+                          n_tables: int = 4, seed: int = 42,
+                          id_col: str = "vec_id", num_partitions: int | None = None):
+    """Cosine near-dup pairs via multi-table random-hyperplane LSH.
+
+    Collision probability per table: (1 − θ/π)^n_planes with θ = arccos(sim)
+    — rows within a bucket of ANY of the ``n_tables`` independent tables are
+    candidates; exact cosine verifies in-bucket (vectorized matmul). The
+    bucket groupby uses the same coarse-partition pattern as text LSH.
+    """
+    import ray
+
+    from ..util import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+    first = emb_ds.take(1)
+    dim = len(first[0]["embedding"])
+    planes = [make_planes(dim, n_planes, seed + 7 * t) for t in range(n_tables)]
+    ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(ref)
+        mat = normalize_rows(batch_matrix(batch))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        out_ids, out_buckets, out_vecs = [], [], []
+        for t, p in enumerate(pl):
+            codes = hyperplane_codes(mat, p)
+            out_ids.append(ids)
+            # mix the table index into the key so tables don't collide
+            out_buckets.append(codes * np.uint64(n_tables) + np.uint64(t))
+            out_vecs.append(mat)
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+            "bucket": pa.array(np.concatenate(out_buckets), pa.uint64()),
+            "vec": pa.array(list(np.concatenate(out_vecs, axis=0).astype(np.float32)),
+                            pa.list_(pa.float32())),
+        })
+
+    buckets = emb_ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("part", pa.array((b % P).astype(np.int64), pa.int64()))
+
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
+        b = group["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = batch_matrix(group, "vec")
+        order = np.lexsort((ids, b))
+        b, ids, mat = b[order], ids[order], mat[order]
+        _, starts, counts = np.unique(b, return_index=True, return_counts=True)
+        out_l, out_r = [], []
+        for s, c in zip(starts, counts):
+            if c < 2:
+                continue
+            seg_ids = ids[s:s + c]
+            keep = np.ones(c, dtype=bool)
+            keep[1:] = np.diff(seg_ids) != 0
+            seg_ids = seg_ids[keep]
+            seg = mat[s:s + c][keep]
+            if len(seg_ids) < 2:
+                continue
+            sims = seg @ seg.T
+            iu = np.triu_indices(len(seg_ids), k=1)
+            hit = sims[iu] >= threshold
+            out_l.append(seg_ids[iu[0][hit]])
+            out_r.append(seg_ids[iu[1][hit]])
+        if not out_l:
+            z = np.empty(0, np.int64)
+            return pa.table({"left_id": pa.array(z, pa.int64()),
+                             "right_id": pa.array(z, pa.int64())})
+        return pa.table({
+            "left_id": pa.array(np.concatenate(out_l), pa.int64()),
+            "right_id": pa.array(np.concatenate(out_r), pa.int64()),
+        })
+
+    pairs = buckets.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(pairs_in_partition, batch_format="pyarrow")
+
+    def dedup(group: pa.Table) -> pa.Table:
+        left = group["left_id"].to_numpy(zero_copy_only=False)
+        right = group["right_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((right, left))
+        left, right = left[order], right[order]
+        new = np.ones(len(left), dtype=bool)
+        if len(left) > 1:
+            new[1:] = (np.diff(left) != 0) | (np.diff(right) != 0)
+        return pa.table({"left_id": pa.array(left[new], pa.int64()),
+                         "right_id": pa.array(right[new], pa.int64())})
+
+    from ..functions.hashing import combine_u64
+
+    def add_pp(t: pa.Table) -> pa.Table:
+        h = combine_u64(t["left_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                        t["right_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return t.append_column("ppart", pa.array((h % np.uint64(P)).astype(np.int64), pa.int64()))
+
+    return pairs.map_batches(add_pp, batch_format="pyarrow") \
+        .groupby("ppart").map_groups(dedup, batch_format="pyarrow")

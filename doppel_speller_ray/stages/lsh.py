@@ -34,14 +34,15 @@ def band_explode_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
     a, b = make_perms(cfg.num_perms, cfg.seed)
     sig = minhash_flat(flat, offsets, a, b)
     keys = lsh_bucket_keys(sig, cfg.lsh_bands, cfg.lsh_rows, cfg.seed)  # (n, bands)
-    n = len(batch)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    return pa.table(
-        {
-            "doc_id": pa.array(np.repeat(doc_ids, cfg.lsh_bands), type=pa.int64()),
-            "bucket": pa.array(keys.reshape(-1), type=pa.uint64()),
-        }
-    )
+    cols = {
+        "doc_id": pa.array(np.repeat(doc_ids, cfg.lsh_bands), type=pa.int64()),
+        "bucket": pa.array(keys.reshape(-1), type=pa.uint64()),
+    }
+    if cfg.simhash_max_hamming is not None:
+        sims = batch["simhash"].to_numpy(zero_copy_only=False)
+        cols["simhash"] = pa.array(np.repeat(sims, cfg.lsh_bands), type=pa.uint64())
+    return pa.table(cols)
 
 
 def signature_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
@@ -57,14 +58,21 @@ def signature_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
     return batch.append_column("minhash", lists)
 
 
-def _pairs_for_sorted_runs(ids: np.ndarray, starts: np.ndarray, counts: np.ndarray,
-                           cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _pairs_for_sorted_runs(ids: np.ndarray, sims: np.ndarray | None,
+                           starts: np.ndarray, counts: np.ndarray,
+                           cfg: DedupConfig):
     """Vectorized pair emission for bucket runs in a (bucket, doc_id)-sorted
-    id array. Small buckets → all pairs; oversized → neighbour chaining."""
+    id array. Small buckets → all pairs; oversized → neighbour chaining.
+    Returns (left, right, oversized, left_pos, right_pos) where the pos
+    arrays index into the sorted arrays (for SimHash gathering)."""
     lefts, rights, overs = [], [], []
     for s, c in zip(starts, counts):
-        seg = ids[s: s + c]
-        seg = np.unique(seg)  # a doc can land in the same bucket once per band
+        seg = np.arange(s, s + c, dtype=np.int64)
+        # a doc could appear twice in one bucket only via band-key collision;
+        # dedupe positions by doc id within the run
+        uniq_mask = np.ones(c, dtype=bool)
+        uniq_mask[1:] = np.diff(ids[s: s + c]) != 0
+        seg = seg[uniq_mask]
         n = len(seg)
         if n < 2:
             continue
@@ -82,21 +90,39 @@ def _pairs_for_sorted_runs(ids: np.ndarray, starts: np.ndarray, counts: np.ndarr
     if not lefts:
         z = np.empty(0, np.int64)
         return z, z.copy(), np.empty(0, np.int8)
-    return np.concatenate(lefts), np.concatenate(rights), np.concatenate(overs)
+    lpos = np.concatenate(lefts)
+    rpos = np.concatenate(rights)
+    overs = np.concatenate(overs)
+    return lpos, rpos, overs
 
 
 def pairs_in_partition(group: pa.Table, *, cfg: DedupConfig) -> pa.Table:
     """map_groups body over one COARSE partition (bucket % P), not one
     bucket: per-group Python overhead across millions of tiny buckets would
     dominate wall-time (measured 37s → <1s at sf0.01). Inside, buckets are
-    recovered by a numpy lexsort and paired vectorized."""
+    recovered by a numpy lexsort and paired vectorized; the SimHash Hamming
+    prefilter kills far-apart pairs before they ever reach the payload
+    joins (cfg.simhash_max_hamming)."""
+    from ..functions.simhash import hamming64
+
     buckets = group["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
     ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    use_sim = cfg.simhash_max_hamming is not None and "simhash" in group.column_names
+    sims = (group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if use_sim else None)
     order = np.lexsort((ids, buckets))
     buckets, ids = buckets[order], ids[order]
+    if use_sim:
+        sims = sims[order]
     _, starts, counts = np.unique(buckets, return_index=True, return_counts=True)
     multi = counts > 1
-    left, right, overs = _pairs_for_sorted_runs(ids, starts[multi], counts[multi], cfg)
+    lpos, rpos, overs = _pairs_for_sorted_runs(ids, sims, starts[multi],
+                                               counts[multi], cfg)
+    left, right = ids[lpos], ids[rpos]
+    if use_sim and len(lpos):
+        ham = hamming64(sims[lpos], sims[rpos])
+        keep = ham <= cfg.simhash_max_hamming
+        left, right, overs = left[keep], right[keep], overs[keep]
     return pa.table({"left_id": pa.array(left, pa.int64()),
                      "right_id": pa.array(right, pa.int64()),
                      "oversized": pa.array(overs.astype(np.int64), pa.int64())})

@@ -34,10 +34,15 @@ def prepare_batch(
     n_words:int64, n_chars:int64, shingles:list<uint64>, n_shingles:int64
     (+ passthrough ``keep_cols``).
     """
+    from ..functions.shingles import list_column_flat
+    from ..functions.simhash import simhash_flat
+
     norm = normalize_array(batch[text_col], cfg.max_chars, cfg.n_grams)
     shingles = shingle_array(norm, cfg.n_grams, cfg.seed)
     norm_hash = hash_strings(norm, cfg.seed)
     n_words, n_chars = tokenize_counts(norm)
+    flat, offsets = list_column_flat(shingles)
+    simhash = simhash_flat(flat, offsets, seed=cfg.seed)
     cols: dict[str, object] = {
         "doc_id": batch[id_col].cast(pa.int64()),
         "norm_text": norm,
@@ -46,6 +51,7 @@ def prepare_batch(
         "n_chars": n_chars.cast(pa.int64()),
         "shingles": shingles,
         "n_shingles": pc.list_value_length(shingles).cast(pa.int64()),
+        "simhash": pa.array(simhash, type=pa.uint64()),
     }
     for c in keep_cols:
         cols[c] = batch[c]

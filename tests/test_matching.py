@@ -1,0 +1,123 @@
+"""Title-matching compat mode: TruthIndex scoring parity + e2e tiered
+matching on reference-shaped fixtures (SURVEY.md §3.1/§3.3)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from doppel_speller_ray.config import DedupConfig, MatchConfig
+from doppel_speller_ray.functions.normalize import transform_text
+from doppel_speller_ray.functions.shingles import shingle_array
+from doppel_speller_ray.sources.fixtures import make_titles
+from doppel_speller_ray.stages.matcher import TruthIndex, _gather_ranges
+
+
+def _prepared_truth(titles, ids=None):
+    norm = [transform_text(t) for t in titles]
+    return pa.table({
+        "title_id": pa.array(ids or list(range(1, len(titles) + 1)), pa.int64()),
+        "norm_text": pa.array(norm),
+        "shingles": shingle_array(norm, 3),
+    })
+
+
+def _ref_modified_jaccard(query, truth_titles):
+    """Straight-from-the-paper reimplementation of match_maker.py:16-52 /
+    135-142 semantics with Python sets, as the parity oracle."""
+    import math
+
+    def grams(t):
+        return set(t[i:i + 3] for i in range(len(t) - 2))
+
+    tsets = [grams(transform_text(t)) for t in truth_titles]
+    n = len(truth_titles)
+    df = {}
+    for s in tsets:
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    idf = {g: math.log(n / c) for g, c in df.items()}
+    max_idf = max(idf.values())
+    q = grams(transform_text(query))
+    q_sum = sum(idf.get(g, max_idf) for g in q)
+    out = []
+    for s in tsets:
+        t_sum = sum(idf[g] for g in s)
+        common = sum(idf[g] for g in (q & s))
+        out.append(common / (t_sum + (q_sum - common)))
+    return np.array(out)
+
+
+def test_gather_ranges():
+    got = _gather_ranges(np.array([5, 0, 10]), np.array([2, 3, 1]))
+    assert got.tolist() == [5, 6, 0, 1, 2, 10]
+    assert _gather_ranges(np.array([], np.int64), np.array([], np.int64)).size == 0
+
+
+def test_modified_jaccard_parity():
+    truth_titles = ["Acme Holdings Inc", "Acme Holding Inc", "Zeta Motors GmbH",
+                    "Beta Data Works Ltd", "Gamma Gamma Labs"]
+    idx = TruthIndex(_prepared_truth(truth_titles))
+    for query in ["acme holdings", "zeta motor gmbh", "completely unrelated xyz"]:
+        norm = transform_text(query)
+        qcodes = np.asarray(shingle_array([norm], 3)[0].values, dtype=np.uint64)
+        got, _ = idx.score_all(qcodes)
+        want = _ref_modified_jaccard(query, truth_titles)
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_topk_orders_best_first():
+    truth_titles = [f"company number {i} ltd" for i in range(50)] + ["acme global inc"]
+    idx = TruthIndex(_prepared_truth(truth_titles))
+    norm = transform_text("acme global incorporated")
+    qcodes = np.asarray(shingle_array([norm], 3)[0].values, dtype=np.uint64)
+    top = idx.topk(qcodes, 10)
+    assert top[0] == 50  # the acme row wins
+
+
+def test_match_pipeline_e2e(ray_session):
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.matching import accuracy_report, match_pipeline
+
+    truth, test, actuals = make_titles(n_truth=300, n_test=150, seed=42)
+    cfg = MatchConfig(top_k=20, concurrency=2)
+    out = match_pipeline(rd.from_arrow(test), rd.from_arrow(truth), cfg)
+    rows = out.take_all()
+    assert len(rows) == 150
+    assert [r["test_index"] for r in rows] == sorted(r["test_index"] for r in rows)
+
+    rep = accuracy_report(rd.from_arrow(pa.Table.from_pylist(rows)),
+                          rd.from_arrow(actuals), cfg)
+    total_found = rep["correctly_matched"] + rep["incorrectly_matched"] + rep["incorrectly_not_found"]
+    # single-perturbation misspellings: the tiered matcher should recover
+    # most, and false positives must stay rare (the 5× penalty regime)
+    assert rep["correctly_matched"] >= 0.6 * total_found, rep
+    assert rep["incorrectly_matched"] <= 0.05 * total_found, rep
+    assert rep["correctly_not_found"] >= 1
+
+
+def test_match_single_title(ray_session):
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.matching import match_single_title
+
+    truth, _, _ = make_titles(n_truth=50, seed=7)
+    name = truth["title"][0].as_py()
+    got = match_single_title(name, rd.from_arrow(truth), MatchConfig(top_k=10))
+    assert got["title_id"] == 1
+    assert got["tier"] == "exact"
+
+
+def test_exact_tier_duplicate_truth_rows(ray_session):
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.matching import match_pipeline
+
+    truth = pa.table({"title_id": pa.array([1, 2], pa.int64()),
+                      "title": pa.array(["Same Name Inc", "same name inc"])})
+    test = pa.table({"test_index": pa.array([0], pa.int64()),
+                     "title": pa.array(["Same Name Inc"])})
+    out = match_pipeline(rd.from_arrow(test), rd.from_arrow(truth),
+                         MatchConfig(top_k=2)).take_all()
+    # exact dict: later row overwrites (dict(zip(...)), predict.py:70-77)
+    assert out[0]["title_id"] == 2

@@ -44,11 +44,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-ORACLED = ["normalize", "tokenize", "word_df", "word_idf", "ngram_df",
-           "exact_dedup_first", "exact_text_groups", "grouped_argmax",
-           "top_docs", "token_count", "lev_distance", "ngram_jaccard_pairs",
-           "ann_topk", "embedding_neardup", "lineitem_agg",
-           "customer_orders", "events_hourly"]
+from doppel_speller_ray.pipelines.queries import ORACLES as _ORACLES
+
+ORACLED = sorted(_ORACLES)
 
 
 @pytest.mark.parametrize("name", ORACLED)

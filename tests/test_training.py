@@ -1,0 +1,150 @@
+"""Training mode: featurizer semantics, weighted logistic verifier,
+containment + embedding-LSH stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from doppel_speller_ray.config import MatchConfig
+from doppel_speller_ray.functions.features import (
+    FEATURES_COUNT,
+    encode_title,
+    lev_ratio_floor,
+    pair_features,
+    truth_word_counts,
+)
+from doppel_speller_ray.stages.pair_model import LogisticPairModel, error_matrix
+
+
+def test_encode_title():
+    enc = encode_title("coolblue bv")
+    # alphabet '- abc...': 'c' -> 4, 'o' -> 16, space -> 1 (feature_engineering.py:200-205)
+    assert enc[:11].tolist() == [4, 16, 16, 13, 3, 13, 22, 6, 1, 3, 23]
+    assert enc.shape == (255,)
+    assert (enc[11:] == 0).all()
+
+
+def test_lev_ratio_floor_vs_round():
+    # 'abc' vs 'abd': dist 2 of 6 → 66.67 → floor 66 (round would give 67)
+    assert lev_ratio_floor("abc", "abd") == 66
+    assert lev_ratio_floor("abc", "abc") == 100
+    assert lev_ratio_floor("", "") == 100
+
+
+def test_pair_features_shape_and_basic():
+    counter = {"acme": 3, "global": 5, "inc": 100}
+    counts = truth_word_counts("acme global inc", counter)
+    assert counts[:3].tolist() == [3, 5, 100]
+    f = pair_features("acme global inc", "acme global inc", counts, 200)
+    assert f.shape == (FEATURES_COUNT,)
+    assert f[0] == 15 and f[1] == 15       # char counts
+    assert f[2] == 3 and f[3] == 3         # word counts
+    assert f[4] == 100                     # identical → ratio 100
+    assert f[5] == 100                     # reconstructed identical
+    assert f[6] == 100                     # first-word best window ratio
+    # unused word slots are NaN
+    assert np.isnan(f[6 + 3: 6 + 15]).all()
+
+
+def test_pair_features_mismatch():
+    counter = {"acme": 1, "inc": 10, "zeta": 1, "gmbh": 4}
+    counts = truth_word_counts("zeta gmbh", counter)
+    f = pair_features("acme holdings inc", "zeta gmbh", counts, 100)
+    assert f[4] < 50
+
+
+def test_logistic_model_learns_and_penalizes_fp():
+    rng = np.random.default_rng(0)
+    n = 2000
+    X = rng.normal(0, 1, (n, 4))
+    y = (X[:, 0] + 0.5 * X[:, 1] + rng.normal(0, 0.3, n) > 0).astype(float)
+    m = LogisticPairModel(beta=5.0, epochs=400).fit(X, y)
+    p = m.predict_proba(X)
+    auc_proxy = ((p[y == 1].mean()) - (p[y == 0].mean()))
+    assert auc_proxy > 0.2
+    # β=5 pushes probabilities down on negatives: false positives at 0.9 rare
+    em = error_matrix(y, p, threshold=0.9)
+    assert em["fp"] <= 0.02 * n
+
+
+def test_model_pickle_roundtrip(tmp_path):
+    X = np.array([[0.0, 1.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]] * 20)
+    y = np.array([0, 1, 1, 0] * 20, dtype=float)
+    m = LogisticPairModel(epochs=50).fit(X, y)
+    path = str(tmp_path / "model.pickle")
+    m.save(path)
+    m2 = LogisticPairModel.load(path)
+    np.testing.assert_allclose(m.predict_proba(X), m2.predict_proba(X))
+
+
+def test_train_verifier_e2e(ray_session):
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.training import train_verifier
+    from doppel_speller_ray.sources.fixtures import make_titles
+
+    truth, _, _ = make_titles(n_truth=150, seed=11)
+    model, metrics = train_verifier(rd.from_arrow(truth),
+                                    MatchConfig(top_k_train=5, seed=11))
+    assert metrics["n_pairs"] > 300
+    em = metrics["eval"]
+    total_pos = em["tp"] + em["fn"]
+    assert total_pos > 0
+    assert em["tp"] / total_pos > 0.5, metrics       # recovers most positives
+    assert em["fp"] <= max(2, 0.05 * (em["fp"] + em["tn"])), metrics
+
+
+def test_containment_pairs(ray_session):
+    import ray.data as rd
+
+    from doppel_speller_ray.stages.containment import containment_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "through fields of golden wheat under a pale blue sky") * 3
+    boiler = "cookie policy accept all rights reserved terms of service " * 4
+    rows = [
+        {"doc_id": 1, "norm_text": base},
+        {"doc_id": 2, "norm_text": boiler + " " + base + " more trailing junk here"},
+        {"doc_id": 3, "norm_text": "totally unrelated content about ray data pipelines "
+                                   "and arrow batches flowing through the object store " * 3},
+    ]
+    out = containment_pairs(rd.from_items(rows), min_containment=0.6).take_all()
+    got = {(r["left_id"], r["right_id"]) for r in out}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_embedding_lsh_neardup(ray_session):
+    import ray.data as rd
+
+    from doppel_speller_ray.stages.embed import embedding_neardup_lsh
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, (30, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": 2 * i, "embedding": v.astype(np.float32).tolist()})
+        # near-duplicate vector: tiny perturbation → cosine ≈ 1
+        rows.append({"vec_id": 2 * i + 1,
+                     "embedding": (v + rng.normal(0, 0.02, 32)).astype(np.float32).tolist()})
+    pairs = embedding_neardup_lsh(rd.from_items(rows), threshold=0.95,
+                                  n_planes=12, n_tables=6, seed=3).take_all()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, (recall, len(got))
+
+
+def test_ann_topk_stage(ray_session):
+    import ray.data as rd
+
+    from doppel_speller_ray.stages.embed import ann_topk
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(0, 1, (100, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(100)]
+    q = mat[7] + rng.normal(0, 0.01, 16).astype(np.float32)
+    out = ann_topk(rd.from_items(rows), q[None, :], k=5).take_all()
+    assert len(out) == 5
+    best = max(out, key=lambda r: r["sim"])
+    assert best["vec_id"] == 7
