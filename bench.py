@@ -91,11 +91,78 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def _scaled_input_dir(sf_dir: str, replicate: int) -> str:
+    """Deterministically replicate the documents table ×replicate (copy 0 =
+    original; copies r>0 are seeded misspellings so the exact-dup tier does
+    not collapse them). Built once, reused by both scaling runs.
+
+    At sf0.1 the pipeline is fixed-overhead-bound (~15 s of shuffle/actor
+    setup regardless of CPUs); the scaling criterion needs enough per-doc
+    work that compute dominates, hence the larger derived input.
+    """
+    out = f"/tmp/graft_scaled_{os.path.basename(sf_dir.rstrip('/'))}_x{replicate}"
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    _init_ray(NUM_CPUS)
+    from doppel_speller_ray.functions.misspell import misspell
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_ids, out_txt = [], []
+        for i, x in zip(ids, texts):
+            for r in range(replicate):
+                out_ids.append(i * replicate + r)
+                out_txt.append(x if r == 0 else misspell(x, i * replicate + r))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_txt)})
+
+    rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+        .map_batches(expand, batch_format="pyarrow") \
+        .write_parquet(out, mode="overwrite")
+    with open(marker, "w") as f:
+        f.write("ok")
+    ray.shutdown()
+    return out
+
+
+def run_dedup_only(input_dir: str, num_cpus: int) -> dict:
+    import ray
+    import ray.data as rd
+
+    _init_ray(num_cpus)
+    from doppel_speller_ray.config import DedupConfig
+    from doppel_speller_ray.pipelines.dedup import dedup_pipeline
+
+    files = input_dir if os.path.isdir(input_dir) else input_dir
+    n_docs = rd.read_parquet(files, columns=["doc_id"]).count()  # warms cache
+    t0 = time.perf_counter()
+    res = dedup_pipeline(rd.read_parquet(files, columns=["doc_id", "text"]),
+                         DedupConfig(max_chars=None))
+    res.clusters.count()
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {"metric": "dedup_e2e_seconds", "value": round(dt, 3), "unit": "sec",
+            "num_cpus": num_cpus, "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / dt, 1)}
+
+
 def run_scaling() -> dict:
-    """Same job, fresh processes, two parallelism levels (8 vs 32 CPUs)."""
+    """Same job, same input, fresh processes, two parallelism levels
+    (8 vs 32 CPUs) — the in-sandbox stand-in for N vs 4N nodes."""
+    replicate = int(os.environ.get("GRAFT_SCALE_REPLICATE", "4"))
+    input_dir = _scaled_input_dir(SF_DIR, replicate)
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_DEDUP_INPUT=input_dir)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              "--dedup-only"],
                              env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
@@ -108,12 +175,16 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "sec_8": lo["value"], "sec_32": hi["value"],
         "docs_per_sec_8": tp_lo, "docs_per_sec_32": tp_hi,
-        "sf": SF_DIR,
+        "n_docs": hi["n_docs"],
+        "sf": SF_DIR, "replicate": replicate,
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--dedup-only" in sys.argv:
+        print(json.dumps(run_dedup_only(
+            os.environ.get("GRAFT_DEDUP_INPUT", SF_DIR), NUM_CPUS)))
     else:
         print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

@@ -54,14 +54,23 @@ class DedupConfig:
     jaccard_threshold: float = 0.80  # exact shingle-set Jaccard gate (Broder-style near-dup criterion)
     lev_threshold: int = 94          # LEVENSHTEIN_RATIO_THRESHOLD (settings.py:75)
     use_levenshtein: bool = True     # gated Levenshtein chain (predict.py:140-156)
-    lev_max_chars: int = 512         # cap text length fed to the O(n*m/64) kernel
-    lev_gate_min: float = 0.40       # run the Levenshtein chain only for
+    lev_max_chars: int = 256         # cap text length fed to the O(n*m/64)
+    #   kernel (prefix compare; normalized text is whitespace-collapsed so
+    #   near-dup prefixes align). 256 keeps the chain ~4× cheaper than 512
+    #   with no recall change on the conformance fixtures
+    lev_gate_min: float = 0.50       # run the Levenshtein chain only for
     #   borderline pairs (lev_gate_min ≤ jaccard < jaccard_threshold): above
-    #   the Jaccard gate the pair is already a dup, far below it a ratio > 94
-    #   is impossible for texts this different — skipping there is pure win
+    #   the Jaccard gate the pair is already a dup; below 0.5 a ratio > 94
+    #   is impossible for texts this different (ratio 94 ⇒ ≲6% edits ⇒
+    #   3-gram jaccard ≳ 0.6) — skipping there is pure win
 
     # --- execution
     batch_size: int = 1024           # rows per map_batches call
+    broadcast_payload_max_bytes: int = 256 * 1024 * 1024
+    #   verify-payload attach strategy: docs payload (shingles+text) below
+    #   this size is broadcast (ray.put once, searchsorted lookup per batch)
+    #   instead of hash-joined — join aggregator pools cost seconds of actor
+    #   startup that dwarf small joins; beyond it, the shuffle join scales
     shuffle_partitions: int | None = None  # None = let Ray pick
 
     # --- output / resume

@@ -52,40 +52,32 @@ class DedupResult:
 
 
 def build_docs(ds, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text",
-               keep_cols: tuple[str, ...] = ()):
+               keep_cols: tuple[str, ...] = (), with_shingles: bool = True):
     """Input Dataset → prepared docs Dataset (normalize/tokenize/shingle)."""
     if id_col == "url":  # pages-shaped input: derive ids from urls
         return ds.map_batches(
             prepare_pages_batch, batch_format="pyarrow",
-            batch_size=cfg.batch_size, fn_kwargs={"cfg": cfg, "keep_cols": keep_cols or ("url",)},
+            batch_size=cfg.batch_size,
+            fn_kwargs={"cfg": cfg, "keep_cols": keep_cols or ("url",),
+                       "with_shingles": with_shingles},
         )
     return ds.map_batches(
         prepare_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
         fn_kwargs={"cfg": cfg, "id_col": id_col, "text_col": text_col,
-                   "keep_cols": keep_cols},
+                   "keep_cols": keep_cols, "with_shingles": with_shingles},
     )
 
 
 def _checkpoint(ds, cfg: DedupConfig, name: str):
-    """Stage checkpoint: write partitioned Parquet + manifest, re-read.
+    """Stage checkpoint boundary (state/checkpoint.py): with a
+    checkpoint_dir, write partitioned Parquet + per-partition lineage
+    manifest (row counts + content signatures) and resume from it on rerun
+    when the config fingerprint matches; otherwise materialize in the
+    object store (the stage output is consumed by two downstream branches —
+    without either, lineage would recompute the stage per consumer)."""
+    from ..state.checkpoint import read_or_run
 
-    With no checkpoint_dir configured the dataset is materialized in the
-    object store instead (it is consumed by two downstream branches; without
-    either, lineage would recompute the stage per consumer).
-    """
-    if not cfg.checkpoint_dir:
-        return ds.materialize()
-    import ray.data as rd
-
-    out = os.path.join(cfg.checkpoint_dir, name)
-    done = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(done):
-        tmp = out + ".tmp"
-        ds.write_parquet(tmp)
-        os.replace(tmp, out)
-        with open(done, "w") as f:
-            f.write("ok")
-    return rd.read_parquet(out)
+    return read_or_run(lambda: ds, cfg.checkpoint_dir, name, cfg)
 
 
 def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_id",
@@ -97,37 +89,63 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
         from ..util import default_num_partitions
 
         num_partitions = default_num_partitions()
-    docs_all = build_docs(ds, cfg, id_col=id_col, text_col=text_col)
+    # LIGHT prepare: the exact-dup shuffle moves text-sized rows; shingles
+    # and signatures (the 8× payload) are computed on representatives only
+    docs_all = build_docs(ds, cfg, id_col=id_col, text_col=text_col,
+                          with_shingles=False)
 
     # --- exact tier (one shuffle) -----------------------------------------
     with_rep = exact_dedup(docs_all)
     with_rep = _checkpoint(with_rep, cfg, "docs_with_rep")
     reps, exact_pairs = split_exact(with_rep)
-    reps = _checkpoint(reps, cfg, "reps")
+    from ..stages.prepare import add_shingles_batch
+
+    reps = reps.map_batches(add_shingles_batch, batch_format="pyarrow",
+                            batch_size=cfg.batch_size, fn_kwargs={"cfg": cfg})
+    if cfg.checkpoint_dir:
+        # resume boundary
+        reps = _checkpoint(reps, cfg, "reps")
+    else:
+        # reps feed two consumers (band explode + payload attach); without
+        # this barrier the shingle/simhash computation runs twice
+        reps = reps.materialize()
 
     # --- LSH candidate tier (bucket shuffle + pair-dedup shuffle) ---------
     bands = reps.map_batches(
         band_explode_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
         fn_kwargs={"cfg": cfg},
     )
-    # candidate ids are tiny rows (two int64s) — materializing here both
-    # feeds the two payload joins without recompute and lets us detect the
-    # no-candidates case (an empty groupby output loses its schema, which
-    # crashes the downstream hash join).
-    cand = candidate_pairs(bands, cfg).materialize()
+    cand = candidate_pairs(bands, cfg)
 
-    if cand.count() == 0:
-        import ray.data as rd
+    # --- verification: payload attach (broadcast vs join) + verify --------
+    from ..stages.verify import attach_payload_broadcast
 
-        verified = rd.from_arrow(_EMPTY_VERIFIED)
-    else:
-        # --- verification (two payload joins + stateless verify) ----------
-        attached = attach_payload(cand, reps, num_partitions=num_partitions,
-                                  with_text=cfg.use_levenshtein)
+    payload_bytes = with_rep.size_bytes() or 0  # upper bound on reps payload
+    if payload_bytes <= cfg.broadcast_payload_max_bytes:
+        # broadcast path streams: no candidate materialization barrier
+        attached = attach_payload_broadcast(cand, reps,
+                                            with_text=cfg.use_levenshtein)
         verified = attached.map_batches(
             verify_batch, batch_format="pyarrow", fn_kwargs={"cfg": cfg}
         )
         verified = _checkpoint(verified, cfg, "verified_pairs")
+    else:
+        # join path: materialize the (tiny-rows) candidate ids — feeds the
+        # two payload joins without recompute, and guards the no-candidates
+        # case (an empty groupby output loses its schema, which crashes the
+        # downstream hash join)
+        cand = cand.materialize()
+        if cand.count() == 0:
+            import ray.data as rd
+
+            verified = rd.from_arrow(_EMPTY_VERIFIED)
+        else:
+            attached = attach_payload(cand, reps, num_partitions=num_partitions,
+                                      with_text=cfg.use_levenshtein)
+            verified = attached.map_batches(
+                verify_batch, batch_format="pyarrow", fn_kwargs={"cfg": cfg}
+            )
+            verified = _checkpoint(verified, cfg, "verified_pairs")
 
     # --- connected components + assignment --------------------------------
     def dup_project(t: pa.Table) -> pa.Table:

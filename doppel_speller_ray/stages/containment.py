@@ -22,9 +22,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import combine_u64
+from ..functions.hashing import pair_hash
 from ..functions.textstats import winnow_fingerprints
-from ..util import default_num_partitions
+from ..util import default_task_partitions
 
 
 def winnow_batch(batch: pa.Table, *, k: int = 8, w: int = 16, seed: int = 42,
@@ -51,7 +51,7 @@ def containment_pairs(docs_ds, *, min_containment: float = 0.7, k: int = 8,
     below ``min_containment`` are dropped. Docs with < ``min_fps``
     fingerprints (shorter than ~w+k chars) are skipped — too little signal.
     """
-    P = num_partitions or default_num_partitions()
+    P = num_partitions or default_task_partitions()
 
     fps = docs_ds.map_batches(
         winnow_batch, batch_format="pyarrow",
@@ -110,8 +110,8 @@ def containment_pairs(docs_ds, *, min_containment: float = 0.7, k: int = 8,
         .groupby("part").map_groups(pairs_in_partition, batch_format="pyarrow")
 
     def add_pp(t: pa.Table) -> pa.Table:
-        h = combine_u64(t["left_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
-                        t["right_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        h = pair_hash(t["left_id"].to_numpy(zero_copy_only=False),
+                      t["right_id"].to_numpy(zero_copy_only=False))
         return t.append_column("ppart", pa.array((h % np.uint64(P)).astype(np.int64),
                                                  pa.int64()))
 

@@ -95,9 +95,9 @@ def embedding_neardup_lsh(emb_ds, threshold: float = 0.9, *, n_planes: int = 16,
     """
     import ray
 
-    from ..util import default_num_partitions
+    from ..util import default_task_partitions
 
-    P = num_partitions or default_num_partitions()
+    P = num_partitions or default_task_partitions()
     first = emb_ds.take(1)
     dim = len(first[0]["embedding"])
     planes = [make_planes(dim, n_planes, seed + 7 * t) for t in range(n_tables)]
@@ -174,11 +174,11 @@ def embedding_neardup_lsh(emb_ds, threshold: float = 0.9, *, n_planes: int = 16,
         return pa.table({"left_id": pa.array(left[new], pa.int64()),
                          "right_id": pa.array(right[new], pa.int64())})
 
-    from ..functions.hashing import combine_u64
+    from ..functions.hashing import pair_hash
 
     def add_pp(t: pa.Table) -> pa.Table:
-        h = combine_u64(t["left_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
-                        t["right_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        h = pair_hash(t["left_id"].to_numpy(zero_copy_only=False),
+                      t["right_id"].to_numpy(zero_copy_only=False))
         return t.append_column("ppart", pa.array((h % np.uint64(P)).astype(np.int64), pa.int64()))
 
     return pairs.map_batches(add_pp, batch_format="pyarrow") \

@@ -7,51 +7,79 @@ pick the min-doc_id representative per *distinct text* (hash collisions are
 resolved by comparing the actual strings inside the group), and emit
 (rep_id, doc_id) membership so exact-dup pairs feed the same union-find as
 the LSH tier.
+
+Grouping is by COARSE partition (norm_hash % P), with the per-hash runs
+recovered vectorized inside each partition task — one ``map_groups`` call
+per distinct hash costs ~0.4 ms of Python per group and dominated wall-time
+at 50k docs (22 s → ~3 s after this change); the partitioned form is O(P)
+calls regardless of corpus size.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 
-def exact_rep_group(group, **_kwargs):
-    """map_groups body over one norm_hash group (pyarrow in/out — list
-    columns like ``shingles`` must NOT round-trip through pandas).
+def exact_rep_partition(group: pa.Table, **_kwargs) -> pa.Table:
+    """One coarse partition: assign rep_id / is_rep per distinct norm_text.
 
-    Adds ``rep_id`` (min doc_id among rows with byte-identical norm_text —
-    hash collisions resolved by comparing actual strings) and ``is_rep``.
-    Groups are tiny (duplicate multiplicity), so the per-group Python dict
-    is cheap.
+    Fast path: runs of equal norm_hash get rep = min doc_id of the run
+    (vectorized). Runs with >1 row additionally verify the actual strings
+    (hash-collision safety) — only duplicated documents pay that cost.
     """
-    import pyarrow as pa
-
     n = group.num_rows
-    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
-    if n == 1:
-        rep = doc_ids
-        is_rep = np.array([True])
-    else:
-        texts = group["norm_text"].to_pylist()
-        min_per_text: dict[str, int] = {}
-        for t, d in zip(texts, doc_ids):
-            d = int(d)
-            if t not in min_per_text or d < min_per_text[t]:
-                min_per_text[t] = d
-        rep = np.fromiter((min_per_text[t] for t in texts), dtype=np.int64, count=n)
-        is_rep = rep == doc_ids
+    h = group["norm_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, h))
+    h_s, ids_s = h[order], ids[order]
+    _, starts, counts = np.unique(h_s, return_index=True, return_counts=True)
+    # rep per sorted position = first (min) doc id of its run
+    rep_s = np.repeat(ids_s[starts], counts)
+
+    multi = counts > 1
+    if multi.any():
+        texts = None
+        for s, c in zip(starts[multi], counts[multi]):
+            if texts is None:
+                texts = group["norm_text"]
+            # resolve possible 64-bit hash collisions by the actual text
+            seg_rows = order[s: s + c]
+            seg_texts = [texts[int(r)].as_py() for r in seg_rows]
+            if len(set(seg_texts)) > 1:
+                best: dict[str, int] = {}
+                for t, d in zip(seg_texts, ids_s[s: s + c]):
+                    if t not in best or d < best[t]:
+                        best[t] = int(d)
+                rep_s[s: s + c] = [best[t] for t in seg_texts]
+
+    rep = np.empty(n, dtype=np.int64)
+    rep[order] = rep_s
     group = group.append_column("rep_id", pa.array(rep, pa.int64()))
-    group = group.append_column("is_rep", pa.array(is_rep, pa.bool_()))
+    group = group.append_column("is_rep", pa.array(rep == ids, pa.bool_()))
     return group
 
 
-def exact_dedup(docs_ds):
-    """docs Dataset → same rows + (rep_id, is_rep). One shuffle on norm_hash."""
-    return docs_ds.groupby("norm_hash").map_groups(exact_rep_group, batch_format="pyarrow")
+def exact_dedup(docs_ds, num_partitions: int | None = None):
+    """docs Dataset → same rows + (rep_id, is_rep). One shuffle on the
+    coarse partition of norm_hash."""
+    from ..util import default_task_partitions
+
+    P = num_partitions or default_task_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t["norm_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "hpart", pa.array((h % np.uint64(P)).astype(np.int64), pa.int64()))
+
+    parted = docs_ds.map_batches(add_part, batch_format="pyarrow")
+    out = parted.groupby("hpart").map_groups(exact_rep_partition,
+                                             batch_format="pyarrow")
+    return out.drop_columns(["hpart"])
 
 
 def split_exact(docs_with_rep):
     """(representatives Dataset, exact_pairs Dataset[left_id, right_id])."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     reps = docs_with_rep.map_batches(

@@ -151,10 +151,10 @@ def candidate_pairs(bands_ds, cfg: DedupConfig, num_partitions: int | None = Non
     so group count equals P, not the number of distinct buckets/pairs; the
     fine-grained grouping happens vectorized inside each partition task.
     """
-    from ..functions.hashing import combine_u64
-    from ..util import default_num_partitions
+    from ..functions.hashing import pair_hash
+    from ..util import default_task_partitions
 
-    P = num_partitions or default_num_partitions()
+    P = num_partitions or default_task_partitions()
 
     def add_part(t: pa.Table) -> pa.Table:
         b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -168,7 +168,7 @@ def candidate_pairs(bands_ds, cfg: DedupConfig, num_partitions: int | None = Non
     def add_pair_part(t: pa.Table) -> pa.Table:
         l = t["left_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         r = t["right_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = combine_u64(l, r)
+        h = pair_hash(l, r)
         return t.append_column("ppart", pa.array((h % P).astype(np.int64), pa.int64()))
 
     deduped = pairs.map_batches(add_pair_part, batch_format="pyarrow") \

@@ -27,35 +27,49 @@ def prepare_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_cols: tuple[str, ...] = (),
+    with_shingles: bool = True,
 ) -> pa.Table:
     """pages/documents batch → docs batch.
 
     Output schema: doc_id:int64, norm_text:string, norm_hash:uint64,
-    n_words:int64, n_chars:int64, shingles:list<uint64>, n_shingles:int64
-    (+ passthrough ``keep_cols``).
+    n_words:int64, n_chars:int64 (+ passthrough ``keep_cols``); with
+    ``with_shingles`` also shingles:list<uint64>, n_shingles:int64,
+    simhash:uint64. The dedup pipeline runs the LIGHT form before the
+    exact-dup shuffle (shingles are ~8× the text payload and the exact tier
+    doesn't need them) and adds shingles to the surviving representatives
+    only (:func:`add_shingles_batch`).
     """
-    from ..functions.shingles import list_column_flat
-    from ..functions.simhash import simhash_flat
-
     norm = normalize_array(batch[text_col], cfg.max_chars, cfg.n_grams)
-    shingles = shingle_array(norm, cfg.n_grams, cfg.seed)
     norm_hash = hash_strings(norm, cfg.seed)
     n_words, n_chars = tokenize_counts(norm)
-    flat, offsets = list_column_flat(shingles)
-    simhash = simhash_flat(flat, offsets, seed=cfg.seed)
     cols: dict[str, object] = {
         "doc_id": batch[id_col].cast(pa.int64()),
         "norm_text": norm,
         "norm_hash": pa.array(norm_hash, type=pa.uint64()),
         "n_words": n_words,
         "n_chars": n_chars.cast(pa.int64()),
-        "shingles": shingles,
-        "n_shingles": pc.list_value_length(shingles).cast(pa.int64()),
-        "simhash": pa.array(simhash, type=pa.uint64()),
     }
     for c in keep_cols:
         cols[c] = batch[c]
-    return pa.table(cols)
+    out = pa.table(cols)
+    if with_shingles:
+        out = add_shingles_batch(out, cfg=cfg)
+    return out
+
+
+def add_shingles_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
+    """+ shingles:list<uint64>, n_shingles:int64, simhash:uint64 (from the
+    already-normalized ``norm_text`` column)."""
+    from ..functions.shingles import list_column_flat
+    from ..functions.simhash import simhash_flat
+
+    shingles = shingle_array(batch["norm_text"], cfg.n_grams, cfg.seed)
+    flat, offsets = list_column_flat(shingles)
+    simhash = simhash_flat(flat, offsets, seed=cfg.seed)
+    out = batch.append_column("shingles", shingles)
+    out = out.append_column("n_shingles",
+                            pc.list_value_length(shingles).cast(pa.int64()))
+    return out.append_column("simhash", pa.array(simhash, type=pa.uint64()))
 
 
 def url_to_doc_id(urls: pa.Array | pa.ChunkedArray, seed: int = 0) -> pa.Array:
@@ -68,11 +82,14 @@ def url_to_doc_id(urls: pa.Array | pa.ChunkedArray, seed: int = 0) -> pa.Array:
     return pa.array(h.astype(np.int64), type=pa.int64())
 
 
-def prepare_pages_batch(batch: pa.Table, *, cfg: DedupConfig, keep_cols: tuple[str, ...] = ("url",)) -> pa.Table:
+def prepare_pages_batch(batch: pa.Table, *, cfg: DedupConfig,
+                        keep_cols: tuple[str, ...] = ("url",),
+                        with_shingles: bool = True) -> pa.Table:
     """pages (url, warc_ts, html, text, lang — BASELINE input_hint) → docs.
 
     Text extraction is the identity on the given ``text`` column (the
     input_hint provides extracted text; the html column stays opaque binary).
     """
     batch = batch.append_column("doc_id", url_to_doc_id(batch["url"], cfg.seed))
-    return prepare_batch(batch, cfg=cfg, id_col="doc_id", text_col="text", keep_cols=keep_cols)
+    return prepare_batch(batch, cfg=cfg, id_col="doc_id", text_col="text",
+                         keep_cols=keep_cols, with_shingles=with_shingles)

@@ -3,6 +3,27 @@
 from __future__ import annotations
 
 
+def default_task_partitions(mult: int = 4, cap: int = 128) -> int:
+    """Partition count for coarse-key groupby stages (bucket % P,
+    pair-hash % P, norm-hash % P).
+
+    mult× the CPU count so per-partition load variance amortizes: with
+    P == CPUs one heavy partition (e.g. a Levenshtein-dense pair range)
+    becomes a straggler that sets the stage wall time (observed +8 s at
+    P=32); with 4× oversubscription the scheduler back-fills.
+    """
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        else:
+            cpus = 8
+    except Exception:
+        cpus = 8
+    return max(8, min(cap, cpus * mult))
+
+
 def default_num_partitions(cap: int = 64) -> int:
     """Join/shuffle partition count scaled to the current cluster.
 
