@@ -159,12 +159,20 @@ def run_scaling() -> dict:
     input_dir = _scaled_input_dir(SF_DIR, replicate)
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_DEDUP_INPUT=input_dir)
-        out = subprocess.run([sys.executable, os.path.abspath(__file__),
-                              "--dedup-only"],
-                             env=env, capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # best-of-2: single-node wall times vary ±20-30% run to run
+        # (scheduling/straggler noise); min is the stable capability estimate
+        best = None
+        for _ in range(int(os.environ.get("GRAFT_SCALE_RUNS", "2"))):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_DEDUP_INPUT=input_dir)
+            out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                  "--dedup-only"],
+                                 env=env, capture_output=True, text=True,
+                                 check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     lo, hi = one(8), one(32)
     tp_lo, tp_hi = lo["docs_per_sec"], hi["docs_per_sec"]

@@ -66,7 +66,7 @@ class DedupConfig:
 
     # --- execution
     batch_size: int = 1024           # rows per map_batches call
-    broadcast_payload_max_bytes: int = 256 * 1024 * 1024
+    broadcast_payload_max_bytes: int = 1024 * 1024 * 1024
     #   verify-payload attach strategy: docs payload (shingles+text) below
     #   this size is broadcast (ray.put once, searchsorted lookup per batch)
     #   instead of hash-joined — join aggregator pools cost seconds of actor

@@ -118,16 +118,14 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
     cand = candidate_pairs(bands, cfg)
 
     # --- verification: payload attach (broadcast vs join) + verify --------
-    from ..stages.verify import attach_payload_broadcast
+    from ..stages.verify import verify_pairs_broadcast
 
-    payload_bytes = with_rep.size_bytes() or 0  # upper bound on reps payload
+    payload_bytes = reps.size_bytes() or 0  # materialized → includes shingles
     if payload_bytes <= cfg.broadcast_payload_max_bytes:
-        # broadcast path streams: no candidate materialization barrier
-        attached = attach_payload_broadcast(cand, reps,
-                                            with_text=cfg.use_levenshtein)
-        verified = attached.map_batches(
-            verify_batch, batch_format="pyarrow", fn_kwargs={"cfg": cfg}
-        )
+        # fused broadcast attach+verify: pure-numpy payload in the object
+        # store, no per-pair blob/string materialization, streams (no
+        # candidate barrier)
+        verified = verify_pairs_broadcast(cand, reps, cfg)
         verified = _checkpoint(verified, cfg, "verified_pairs")
     else:
         # join path: materialize the (tiny-rows) candidate ids — feeds the
@@ -159,15 +157,24 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
         from ..state.cc import connected_components_distributed
 
         labels = connected_components_distributed(all_pairs)
-        mapping = {int(r["node"]): int(r["label"]) for r in labels.take_all()}
+        rows = labels.take_all()
+        import numpy as np
+
+        nodes = np.array([r["node"] for r in rows], np.int64)
+        roots = np.array([r["label"] for r in rows], np.int64)
+        order = np.argsort(nodes)
+        mapping = (nodes[order], roots[order])
     else:
-        mapping = clusters_from_pairs(all_pairs, dup_only=False)
+        from ..state.unionfind import clusters_from_pairs_arrays
+
+        mapping = clusters_from_pairs_arrays(all_pairs, dup_only=False)
 
     clusters = assign_clusters(with_rep, mapping)
 
+    nodes, roots = mapping
     stats = {
-        "n_components": len(set(mapping.values())),
-        "n_clustered_docs": len(mapping),
+        "n_components": int(len(set(roots.tolist()))) if len(roots) else 0,
+        "n_clustered_docs": int(len(nodes)),
     }
     return DedupResult(clusters=clusters, verified_pairs=verified,
                        exact_pairs=exact_pairs, docs=with_rep, stats=stats)

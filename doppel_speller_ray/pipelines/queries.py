@@ -842,3 +842,76 @@ QUERIES.update({
 ORACLES.update({
     "cc_labels": SQL_CC_LABELS,
 })
+
+
+# ---------------------------------------------------------------------------
+# IDF-weighted Jaccard pairs (reference match_maker.py:16-52 semantics as a
+# corpus-level operator, with an exact SQL oracle)
+# ---------------------------------------------------------------------------
+
+def q_idf_jaccard_pairs(sf_dir: str, threshold: float = 0.35):
+    """All-pairs IDF-weighted (modified) Jaccard ≥ threshold over 3-gram
+    sets — Σidf(common) / (Σidf(a)+Σidf(b)−Σidf(common)), idf = ln(N/df)
+    from the corpus itself (A2+A3 feeding T2)."""
+    import ray
+
+    from ..functions.shingles import shingle_array
+    from ..state.idf import build_idf_arrays, idf_weighted_jaccard
+
+    def prep(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        return pa.table({"doc_id": t["doc_id"], "shingles": shingle_array(norm, 3)})
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(prep, batch_format="pyarrow")
+    docs = docs.materialize()
+    n_docs = docs.count()
+    codes, idf, max_idf = build_idf_arrays(docs, n_docs)
+
+    rows = docs.take_all()
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    sets = [np.asarray(r["shingles"], dtype=np.uint64) for r in rows]
+    order = np.argsort(ids)
+    ids = ids[order]
+    sets = [sets[i] for i in order]
+    ref = ray.put((ids, sets, codes, idf, max_idf))
+
+    import ray.data as rd
+
+    idx = rd.from_items([{"i": int(i)} for i in range(len(ids))])
+
+    def pairs_for(batch: pa.Table) -> pa.Table:
+        bids, bsets, bc, bi, bm = ray.get(ref)
+        out_l, out_r, out_j = [], [], []
+        for i in batch["i"].to_pylist():
+            for j in range(i + 1, len(bids)):
+                s = idf_weighted_jaccard(bsets[i], bsets[j], bc, bi, bm)
+                if s >= threshold:
+                    out_l.append(int(bids[i]))
+                    out_r.append(int(bids[j]))
+                    out_j.append(round(s, 6))
+        return pa.table({"left_id": pa.array(out_l, pa.int64()),
+                         "right_id": pa.array(out_r, pa.int64()),
+                         "idf_jaccard": pa.array(out_j, pa.float64())})
+
+    return idx.map_batches(pairs_for, batch_format="pyarrow", batch_size=32)
+
+
+SQL_IDF_JACCARD_PAIRS = f"""
+WITH n AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+e AS (SELECT doc_id, norm, unnest(range(1, length(norm) - 1)) AS i FROM n),
+g AS (SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 3) AS gram FROM e),
+d AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+w AS (SELECT gram, ln((SELECT count(*) FROM documents) * 1.0 / df) AS idf FROM d),
+s AS (SELECT g.doc_id, sum(w.idf) AS sw FROM g JOIN w USING (gram) GROUP BY g.doc_id),
+i AS (SELECT a.doc_id AS l, b.doc_id AS r, sum(w.idf) AS wc
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      JOIN w ON w.gram = a.gram
+      GROUP BY a.doc_id, b.doc_id)
+SELECT i.l AS left_id, i.r AS right_id,
+       round(i.wc / (sa.sw + sb.sw - i.wc), 6) AS idf_jaccard
+FROM i JOIN s sa ON sa.doc_id = i.l JOIN s sb ON sb.doc_id = i.r
+WHERE i.wc / (sa.sw + sb.sw - i.wc) >= 0.35
+"""
+
+QUERIES["idf_jaccard_pairs"] = q_idf_jaccard_pairs
+ORACLES["idf_jaccard_pairs"] = SQL_IDF_JACCARD_PAIRS

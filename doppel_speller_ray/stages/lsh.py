@@ -171,6 +171,9 @@ def candidate_pairs(bands_ds, cfg: DedupConfig, num_partitions: int | None = Non
         h = pair_hash(l, r)
         return t.append_column("ppart", pa.array((h % P).astype(np.int64), pa.int64()))
 
+    # sort-shuffle reduce emits as many blocks as its INPUT has — repartition
+    # first so the downstream dedup/attach/verify stage gets P tasks (the
+    # Levenshtein-heavy verify needs fine-grained blocks for load balance)
     deduped = pairs.map_batches(add_pair_part, batch_format="pyarrow") \
         .groupby("ppart").map_groups(dedup_pairs_partition, batch_format="pyarrow")
     return deduped

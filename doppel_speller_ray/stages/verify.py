@@ -114,6 +114,96 @@ def attach_payload_broadcast(pairs_ds, docs_ds, with_text: bool = True):
     return pairs_ds.map_batches(attach, batch_format="pyarrow")
 
 
+def verify_pairs_broadcast(pairs_ds, docs_ds, cfg: DedupConfig):
+    """Fused payload-attach + verify for the broadcast path.
+
+    The docs payload is collected into PURE-NUMPY arrays (ids, flat shingle
+    buffer + offsets, flat utf8 text buffer + offsets) and ``ray.put`` once
+    — zero-copy through the object store, no per-task unpickling of Python
+    string lists (a 200k-doc corpus cost seconds per task that way). Each
+    pair batch looks both sides up via searchsorted, computes exact Jaccard
+    on array slices directly (no blob materialization), and decodes text
+    only for the borderline rows that actually run the Levenshtein chain.
+    """
+    import ray
+
+    from ..functions.shingles import list_column_flat
+
+    cols = ["doc_id", "shingles"] + (["norm_text"] if cfg.use_levenshtein else [])
+    tables = [t for t in ray.get(docs_ds.select_columns(cols).to_arrow_refs())
+              if t.num_rows]
+    if tables:
+        tbl = pa.concat_tables(tables, promote_options="none")
+        raw_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # sort only the id/permutation pair — the multi-GB ragged buffers
+        # stay in arrival order and are addressed via perm (saves two full
+        # driver-side copies of the payload)
+        perm = np.argsort(raw_ids)
+        ids = raw_ids[perm]
+        sflat, soff = list_column_flat(tbl["shingles"].combine_chunks())
+        if cfg.use_levenshtein:
+            from ..functions.hashing import _string_buffers
+
+            tcol = tbl["norm_text"].combine_chunks()
+            if pa.types.is_large_string(tcol.type):
+                tcol = tcol.cast(pa.string())
+            tdata, toff = _string_buffers(tcol)
+        else:
+            tdata = np.empty(0, np.uint8)
+            toff = np.zeros(len(ids) + 1, np.int64)
+    else:
+        ids, perm = np.empty(0, np.int64), np.empty(0, np.int64)
+        sflat, soff = np.empty(0, np.uint64), np.zeros(1, np.int64)
+        tdata, toff = np.empty(0, np.uint8), np.zeros(1, np.int64)
+
+    ref = ray.put((ids, perm, sflat, soff, tdata, toff))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bids, bperm, bsf, bso, btd, bto = ray.get(ref)
+        n = len(batch)
+        left = batch["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        right = batch["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def positions(x: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(bids, x)
+            if len(bids) == 0 or (bids[np.minimum(pos, len(bids) - 1)] != x).any():
+                raise KeyError("pair references unknown doc_id")
+            return bperm[pos]  # physical row in the arrival-order buffers
+
+        lp, rp = positions(left), positions(right)
+        jac = np.empty(n, dtype=np.float32)
+        for i in range(n):
+            a = bsf[bso[lp[i]]: bso[lp[i] + 1]]
+            b = bsf[bso[rp[i]]: bso[rp[i] + 1]]
+            union = len(a) + len(b)
+            if union == 0:
+                jac[i] = 1.0
+                continue
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            jac[i] = inter / (union - inter)
+
+        lev = np.zeros(n, dtype=np.int16)
+        need = (jac >= cfg.lev_gate_min) & (jac < cfg.jaccard_threshold)
+        if cfg.use_levenshtein and need.any():
+            thr = cfg.lev_threshold
+            cap = cfg.lev_max_chars
+            for i in np.nonzero(need)[0]:
+                a = btd[bto[lp[i]]: bto[lp[i] + 1]].tobytes().decode("utf-8")[:cap]
+                b = btd[bto[rp[i]]: bto[rp[i] + 1]].tobytes().decode("utf-8")[:cap]
+                if deletion_ratio(a, b) < thr:
+                    continue
+                r = lev_ratio(a, b)
+                lev[i] = token_sort_ratio(a, b) if r <= thr else r
+
+        jac_ok = jac >= cfg.jaccard_threshold
+        is_dup = (jac_ok | (lev > cfg.lev_threshold)) if cfg.use_levenshtein else jac_ok
+        out = batch.append_column("jaccard", pa.array(jac, pa.float32()))
+        out = out.append_column("lev_ratio", pa.array(lev, pa.int16()))
+        return out.append_column("is_dup", pa.array(is_dup, pa.bool_()))
+
+    return pairs_ds.map_batches(fn, batch_format="pyarrow")
+
+
 def jaccard_pairs_batch(batch: pa.Table) -> np.ndarray:
     """Vector of exact Jaccards for a batch of pairs with packed-binary
     shingle columns."""
