@@ -42,13 +42,21 @@ def collect_truth_table(truth_ds, cfg: MatchConfig,
 
 def match_pipeline(test_ds, truth_ds, cfg: MatchConfig = MatchConfig(), *,
                    test_id_col: str = "test_index", test_text_col: str = "title",
-                   truth_id_col: str = "title_id", truth_text_col: str = "title"):
+                   truth_id_col: str = "title_id", truth_text_col: str = "title",
+                   model=None, model_top_k: int = 10):
     """Returns Dataset (test_index, title_id, prediction, tier) sorted by
-    test_index; title_id = −1 where no match (predict.py:256-272)."""
+    test_index; title_id = −1 where no match (predict.py:256-272).
+
+    ``model``: optional tier-3 pair verifier (any object with
+    predict_proba, e.g. stages.pair_model.LogisticPairModel) — broadcast
+    once, loaded per actor in __init__ (the reference unpickles its
+    XGBoost booster the same way, predict.py:79-82).
+    """
     import ray
 
     truth_table = collect_truth_table(truth_ds, cfg, truth_id_col, truth_text_col)
     ref = ray.put(truth_table)
+    model_ref = ray.put(model) if model is not None else None
 
     queries = _prepare(test_ds, cfg, test_id_col, test_text_col)
 
@@ -63,7 +71,9 @@ def match_pipeline(test_ds, truth_ds, cfg: MatchConfig = MatchConfig(), *,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.concurrency,
-        fn_constructor_kwargs={"truth_ref": ref, "cfg": cfg},
+        fn_constructor_kwargs={"truth_ref": ref, "cfg": cfg,
+                               "model_ref": model_ref,
+                               "model_top_k": model_top_k},
     )
     return matched.sort("test_index")
 

@@ -100,9 +100,12 @@ def train_verifier(truth_ds, cfg: MatchConfig = MatchConfig(), *,
 
     p_train = model.predict_proba(X[~is_eval])
     p_eval = model.predict_proba(X[is_eval])
+    n_pos = float(y.sum())
     metrics = {
         "n_pairs": int(len(y)),
         "n_eval": int(is_eval.sum()),
+        # A7 class balance (reference scale_pos_weight, train.py:94)
+        "scale_pos_weight": round(float((len(y) - n_pos) / max(n_pos, 1)), 4),
         "train": error_matrix(y[~is_eval], p_train, cfg.prediction_threshold,
                               cfg.false_positive_penalty),
         "eval": error_matrix(y[is_eval], p_eval, cfg.prediction_threshold,

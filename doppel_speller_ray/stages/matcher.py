@@ -111,12 +111,30 @@ class MatcherActor:
     table; each __call__ processes one Arrow batch of prepared queries.
     """
 
-    def __init__(self, truth_ref, cfg: MatchConfig):
+    def __init__(self, truth_ref, cfg: MatchConfig, model_ref=None,
+                 model_top_k: int = 10):
         import ray
 
         truth = ray.get(truth_ref)
         self.index = TruthIndex(truth)
         self.cfg = cfg
+        # tier-3 model verifier (predict.py:185-254): optional; scores the
+        # model_top_k best Jaccard candidates of still-unmatched queries
+        self.model = ray.get(model_ref) if model_ref is not None else None
+        self.model_top_k = model_top_k
+        if self.model is not None:
+            from collections import Counter
+
+            from ..functions.features import truth_word_counts
+
+            counter: Counter = Counter()
+            for norm in self.index.norm_texts:
+                counter.update(set(norm.split()))
+            self.word_counter = dict(counter)
+            self.truth_counts = np.stack([
+                truth_word_counts(t, self.word_counter)
+                for t in self.index.norm_texts
+            ])
 
     def _gated_ratio(self, a: str, b: str) -> int:
         thr = self.cfg.lev_threshold
@@ -167,10 +185,27 @@ class MatcherActor:
                 out_tid[i] = best_tid
                 out_pred[i] = 1.0
                 tiers.append("lev")
-            else:
-                out_tid[i] = nf
-                out_pred[i] = 0.0
-                tiers.append("not_found")
+                continue
+            # tier 3: model verifier over the top candidates
+            # (predict.py:229-254: argmax p, threshold 0.9, ambiguity drop)
+            if self.model is not None and len(cand):
+                from ..functions.features import featurize_pairs
+
+                mk = cand[: self.model_top_k]
+                truths = [self.index.norm_texts[t] for t in mk]
+                X = featurize_pairs([norm] * len(mk), truths,
+                                    self.truth_counts[mk], self.index.n_truth)
+                p = self.model.predict_proba(X)
+                best = int(np.argmax(p))
+                if (p[best] > self.cfg.prediction_threshold
+                        and (p == p[best]).sum() == 1):
+                    out_tid[i] = int(self.index.title_ids[mk[best]])
+                    out_pred[i] = float(p[best])
+                    tiers.append("model")
+                    continue
+            out_tid[i] = nf
+            out_pred[i] = 0.0
+            tiers.append("not_found")
 
         return pa.table({
             "test_index": pa.array(out_idx, pa.int64()),

@@ -121,3 +121,29 @@ def test_exact_tier_duplicate_truth_rows(ray_session):
                          MatchConfig(top_k=2)).take_all()
     # exact dict: later row overwrites (dict(zip(...)), predict.py:70-77)
     assert out[0]["title_id"] == 2
+
+
+def test_match_pipeline_with_model_tier(ray_session):
+    import ray.data as rd
+
+    from doppel_speller_ray.config import MatchConfig
+    from doppel_speller_ray.pipelines.matching import accuracy_report, match_pipeline
+    from doppel_speller_ray.pipelines.training import train_verifier
+
+    truth, test, actuals = make_titles(n_truth=200, n_test=120, seed=21)
+    cfg = MatchConfig(top_k=20, concurrency=2, seed=21)
+    model, _ = train_verifier(rd.from_arrow(truth), cfg)
+
+    base = match_pipeline(rd.from_arrow(test), rd.from_arrow(truth), cfg).take_all()
+    with_model = match_pipeline(rd.from_arrow(test), rd.from_arrow(truth), cfg,
+                                model=model).take_all()
+    tiers = {r["tier"] for r in with_model}
+    assert "model" in tiers or all(r["tier"] != "not_found" for r in base)
+
+    rep_base = accuracy_report(
+        rd.from_arrow(pa.Table.from_pylist(base)), rd.from_arrow(actuals), cfg)
+    rep_model = accuracy_report(
+        rd.from_arrow(pa.Table.from_pylist(with_model)), rd.from_arrow(actuals), cfg)
+    # tier 3 must recover additional matches without exploding false positives
+    assert rep_model["correctly_matched"] >= rep_base["correctly_matched"]
+    assert rep_model["custom_error"] <= rep_base["custom_error"] + 5, (rep_base, rep_model)
