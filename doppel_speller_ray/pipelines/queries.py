@@ -915,3 +915,139 @@ WHERE i.wc / (sa.sw + sb.sw - i.wc) >= 0.35
 
 QUERIES["idf_jaccard_pairs"] = q_idf_jaccard_pairs
 ORACLES["idf_jaccard_pairs"] = SQL_IDF_JACCARD_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# Anti-join (D5/J2), sessionization, window top-k, broadcast dimension join
+# ---------------------------------------------------------------------------
+
+def q_customers_without_orders(sf_dir: str, min_price: float = 400_000.0):
+    """Anti-join via broadcast key set (ray_guide 'Semi / anti join'):
+    customers with NO order above min_price; the qualifying o_custkey set
+    is collected once and filtered against per batch. (The unrestricted
+    anti-join is empty in this dense synthetic data.)"""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], min_price))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow")
+    keys = big.unique("o_custkey")
+    ref = ray.put(np.sort(np.array(keys, dtype=np.int64)))
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        ids = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ks, ids)
+        pos_c = np.minimum(pos, max(len(ks) - 1, 0))
+        found = (len(ks) > 0) & (ks[pos_c] == ids)
+        return pa.table({"c_custkey": pa.array(ids[~found], pa.int64())})
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(anti, batch_format="pyarrow")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def q_event_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization (streaming-shaped op, ray_guide): per-user sorted
+    event log, a new session starts when the gap exceeds 30 min. Ray Data
+    has no event-time windows — the window is a sorted map_groups."""
+    def per_user(g):
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(1 + gaps.sum())],
+                             "n_events": [len(g)]})
+
+    return _read(sf_dir, "events", ["user_id", "event_id", "ts"]) \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_EVENT_SESSIONS = """
+WITH e AS (
+  SELECT user_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, 1 + sum(new_s) AS n_sessions, count(*) AS n_events
+FROM e GROUP BY user_id
+"""
+
+
+def q_top2_orders_per_customer(sf_dir: str):
+    """Grouped top-k (window row_number analogue) via map_groups."""
+    def per_cust(g):
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(2)
+        return g[["o_custkey", "o_orderkey"]]
+
+    return _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]) \
+        .groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+
+
+SQL_TOP2_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 2
+"""
+
+
+def q_customers_per_region(sf_dir: str):
+    """Two broadcast dimension lookups (J4: nation, region ray.put once)
+    + grouped count — the classic star-schema broadcast join."""
+    import ray
+    from ray.data.aggregate import Count
+
+    nation = {r["n_nationkey"]: r["n_regionkey"]
+              for r in _read(sf_dir, "nation").take_all()}
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region").take_all()}
+    ref = ray.put((nation, region))
+
+    def tag(t: pa.Table) -> pa.Table:
+        nat, reg = ray.get(ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = [reg[nat[int(k)]] for k in nk]
+        return pa.table({"r_name": pa.array(names, pa.string())})
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+
+SQL_CUSTOMERS_PER_REGION = """
+SELECT r.r_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_sample_fraction(sf_dir: str):
+    """O4 seeded sampling — rows-only (sampling is inherently
+    implementation-defined; determinism is what we verify in tests)."""
+    return _docs(sf_dir, ["doc_id"]).random_sample(0.2, seed=42)
+
+
+QUERIES.update({
+    "customers_without_orders": q_customers_without_orders,
+    "event_sessions": q_event_sessions,
+    "top2_orders_per_customer": q_top2_orders_per_customer,
+    "customers_per_region": q_customers_per_region,
+    "sample_fraction": q_sample_fraction,
+})
+ORACLES.update({
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "event_sessions": SQL_EVENT_SESSIONS,
+    "top2_orders_per_customer": SQL_TOP2_ORDERS_PER_CUSTOMER,
+    "customers_per_region": SQL_CUSTOMERS_PER_REGION,
+})

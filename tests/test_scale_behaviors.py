@@ -1,0 +1,62 @@
+"""Scale-behavior guarantees: oversized-bucket chaining recall, and
+determinism of cluster output across partitionings/batch sizes (retry- and
+resume-safety — SURVEY.md §4)."""
+
+import pyarrow as pa
+import pytest
+
+from doppel_speller_ray.config import DedupConfig
+from doppel_speller_ray.functions.misspell import misspell
+
+
+def _cluster_sets(res, id_to_key=None):
+    import collections
+
+    by = collections.defaultdict(set)
+    for r in res.clusters.take_all():
+        key = id_to_key[r["doc_id"]] if id_to_key else r["doc_id"]
+        by[r["cluster_id"]].add(key)
+    return sorted((frozenset(v) for v in by.values()), key=lambda s: min(s))
+
+
+def test_oversized_bucket_chaining_recall(ray_session):
+    """A 24-member near-dup cluster with max_bucket_size=8 forces the
+    chained (not all-pairs) emission path; union-find transitivity must
+    still recover the full cluster."""
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.dedup import dedup_pipeline
+
+    base = ("winnow shingle bucket verify cluster candidate corpus document "
+            "table query scan filter join merge sort group window stream ") * 4
+    rows = [{"doc_id": i, "text": misspell(base, 900 + i)} for i in range(24)]
+    rows += [{"doc_id": 100 + i, "text": f"totally unrelated text number {i} "
+              + " ".join(f"tok{i}{j}" for j in range(30))} for i in range(10)]
+    cfg = DedupConfig(max_chars=None, max_bucket_size=8, chain_width=2)
+    res = dedup_pipeline(rd.from_items(rows), cfg)
+    clusters = _cluster_sets(res)
+    big = max(clusters, key=len)
+    assert big == frozenset(range(24)), big
+    # oversized flag surfaced for observability
+    assert any(r["oversized"] for r in res.verified_pairs.take_all())
+
+
+def test_cluster_output_partitioning_invariant(ray_session):
+    """Same input, different physical layout (block counts, batch sizes)
+    → byte-identical cluster assignment."""
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.dedup import dedup_pipeline
+    from doppel_speller_ray.sources.fixtures import make_pages
+
+    pages, _ = make_pages(n_clusters=12, n_singletons=40, seed=9)
+
+    out = []
+    for blocks, bs in ((1, 1024), (7, 64)):
+        ds = rd.from_arrow(pages).repartition(blocks)
+        cfg = DedupConfig(max_chars=None, batch_size=bs)
+        res = dedup_pipeline(ds, cfg, id_col="url", text_col="text")
+        rows = sorted((r["doc_id"], r["cluster_id"])
+                      for r in res.clusters.take_all())
+        out.append(rows)
+    assert out[0] == out[1]
