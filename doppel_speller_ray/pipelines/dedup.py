@@ -102,13 +102,21 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
 
     reps = reps.map_batches(add_shingles_batch, batch_format="pyarrow",
                             batch_size=cfg.batch_size, fn_kwargs={"cfg": cfg})
+    reps_tables = None
     if cfg.checkpoint_dir:
         # resume boundary
         reps = _checkpoint(reps, cfg, "reps")
     else:
-        # reps feed two consumers (band explode + payload attach); without
-        # this barrier the shingle/simhash computation runs twice
-        reps = reps.materialize()
+        # one execution serves both consumers: collect the block refs
+        # (this IS the materialization) and rebuild a Dataset from them for
+        # the band-explode branch — a separate materialize() + a separate
+        # broadcast collect each cost a full execution ramp
+        import ray
+        import ray.data as rd
+
+        refs = reps.to_arrow_refs()
+        reps_tables = ray.get(refs)
+        reps = rd.from_arrow_refs(refs)
 
     # --- LSH candidate tier (bucket shuffle + pair-dedup shuffle) ---------
     bands = reps.map_batches(
@@ -125,7 +133,8 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
         # fused broadcast attach+verify: pure-numpy payload in the object
         # store, no per-pair blob/string materialization, streams (no
         # candidate barrier)
-        verified = verify_pairs_broadcast(cand, reps, cfg)
+        verified = verify_pairs_broadcast(cand, reps, cfg,
+                                          docs_tables=reps_tables)
         verified = _checkpoint(verified, cfg, "verified_pairs")
     else:
         # join path: materialize the (tiny-rows) candidate ids — feeds the
@@ -167,7 +176,9 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
     else:
         from ..state.unionfind import clusters_from_pairs_arrays
 
-        mapping = clusters_from_pairs_arrays(all_pairs, dup_only=False)
+        # schema is statically (left_id, right_id) — skip the probe execution
+        mapping = clusters_from_pairs_arrays(all_pairs, dup_only=False,
+                                             has_flag=False)
 
     clusters = assign_clusters(with_rep, mapping)
 

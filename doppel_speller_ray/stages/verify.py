@@ -114,7 +114,8 @@ def attach_payload_broadcast(pairs_ds, docs_ds, with_text: bool = True):
     return pairs_ds.map_batches(attach, batch_format="pyarrow")
 
 
-def verify_pairs_broadcast(pairs_ds, docs_ds, cfg: DedupConfig):
+def verify_pairs_broadcast(pairs_ds, docs_ds, cfg: DedupConfig,
+                           docs_tables: list | None = None):
     """Fused payload-attach + verify for the broadcast path.
 
     The docs payload is collected into PURE-NUMPY arrays (ids, flat shingle
@@ -130,8 +131,11 @@ def verify_pairs_broadcast(pairs_ds, docs_ds, cfg: DedupConfig):
     from ..functions.shingles import list_column_flat
 
     cols = ["doc_id", "shingles"] + (["norm_text"] if cfg.use_levenshtein else [])
-    tables = [t for t in ray.get(docs_ds.select_columns(cols).to_arrow_refs())
-              if t.num_rows]
+    if docs_tables is not None:
+        tables = [t.select(cols) for t in docs_tables if t.num_rows]
+    else:
+        tables = [t for t in ray.get(docs_ds.select_columns(cols).to_arrow_refs())
+                  if t.num_rows]
     if tables:
         tbl = pa.concat_tables(tables, promote_options="none")
         raw_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -92,12 +92,17 @@ def cc_numpy(left: np.ndarray, right: np.ndarray) -> tuple[np.ndarray, np.ndarra
     return nodes, nodes[lab]
 
 
-def pairs_arrays(pairs_ds, dup_only: bool = True) -> tuple[np.ndarray, np.ndarray]:
-    """Stream a pair Dataset into flat (left, right) numpy arrays."""
-    schema = pairs_ds.schema()
-    if schema is None:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    has_flag = "is_dup" in schema.names
+def pairs_arrays(pairs_ds, dup_only: bool = True,
+                 has_flag: bool | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Stream a pair Dataset into flat (left, right) numpy arrays.
+
+    Pass ``has_flag`` when the schema is statically known — ``schema()`` on
+    a lazy dataset triggers a limit-1 probe execution."""
+    if has_flag is None:
+        schema = pairs_ds.schema()
+        if schema is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        has_flag = "is_dup" in schema.names
     cols = ["left_id", "right_id"] + (["is_dup"] if has_flag else [])
     lefts, rights = [], []
     for batch in pairs_ds.select_columns(cols).iter_batches(
@@ -115,9 +120,10 @@ def pairs_arrays(pairs_ds, dup_only: bool = True) -> tuple[np.ndarray, np.ndarra
     return np.concatenate(lefts), np.concatenate(rights)
 
 
-def clusters_from_pairs_arrays(pairs_ds, dup_only: bool = True):
+def clusters_from_pairs_arrays(pairs_ds, dup_only: bool = True,
+                               has_flag: bool | None = None):
     """pair Dataset → (nodes, roots) arrays via streaming + numpy CC."""
-    left, right = pairs_arrays(pairs_ds, dup_only)
+    left, right = pairs_arrays(pairs_ds, dup_only, has_flag)
     return cc_numpy(left, right)
 
 
