@@ -15,9 +15,14 @@ from ..stages.matcher import MatcherActor
 from ..stages.prepare import prepare_batch
 
 
-def _prepare(ds, cfg: MatchConfig, id_col: str, text_col: str):
+def _prepare(ds, cfg: MatchConfig, id_col: str, text_col: str,
+             min_blocks: int | None = None):
     # reference parity: 255-char cap + '0'-padding (settings.py:67-68)
     dcfg = DedupConfig(max_chars=cfg.max_chars, n_grams=cfg.n_grams, seed=cfg.seed)
+    if min_blocks:
+        # in-memory tables (from_arrow) and single CSVs arrive as ONE block
+        # → one map task → one actor does all the work; split first
+        ds = ds.repartition(min_blocks)
     out = ds.map_batches(
         prepare_batch, batch_format="pyarrow", batch_size=cfg.batch_size,
         fn_kwargs={"cfg": dcfg, "id_col": id_col, "text_col": text_col},
@@ -32,7 +37,10 @@ def collect_truth_table(truth_ds, cfg: MatchConfig,
     GB the dedup pipeline's shuffle join is the right tool instead)."""
     import ray
 
-    prepared = _prepare(truth_ds, cfg, id_col, text_col)
+    from ..util import default_task_partitions
+
+    prepared = _prepare(truth_ds, cfg, id_col, text_col,
+                        min_blocks=default_task_partitions())
     tables = ray.get(prepared.to_arrow_refs())
     tbl = pa.concat_tables(tables)
     return tbl.rename_columns(
@@ -58,7 +66,8 @@ def match_pipeline(test_ds, truth_ds, cfg: MatchConfig = MatchConfig(), *,
     ref = ray.put(truth_table)
     model_ref = ray.put(model) if model is not None else None
 
-    queries = _prepare(test_ds, cfg, test_id_col, test_text_col)
+    queries = _prepare(test_ds, cfg, test_id_col, test_text_col,
+                       min_blocks=cfg.concurrency * 8)
 
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(
@@ -70,7 +79,10 @@ def match_pipeline(test_ds, truth_ds, cfg: MatchConfig = MatchConfig(), *,
         MatcherActor,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.concurrency,
+        # autoscaling pool: a fixed-size pool reserves cfg.concurrency CPUs
+        # up front, which starves the upstream repartition/sort on small
+        # sessions into a scheduling deadlock (observed at num_cpus=4)
+        concurrency=(1, cfg.concurrency),
         fn_constructor_kwargs={"truth_ref": ref, "cfg": cfg,
                                "model_ref": model_ref,
                                "model_top_k": model_top_k},

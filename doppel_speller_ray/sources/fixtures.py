@@ -156,7 +156,8 @@ def make_titles(n_truth: int = 400, n_test: int = 200, not_found_frac: float = 0
     rng = random.Random(seed * 31 + 5)
     names: list[str] = []
     seen: set[str] = set()
-    while len(names) < n_truth + int(n_test * not_found_frac) + 10:
+    needed = n_truth + int(n_test * not_found_frac) + 10
+    while len(names) < needed:
         nm = " ".join([
             rng.choice(_COMPANY_PARTS["prefix"]) + rng.choice(_COMPANY_PARTS["stem"]),
             rng.choice(_COMPANY_PARTS["suffix"]),
@@ -164,6 +165,10 @@ def make_titles(n_truth: int = 400, n_test: int = 200, not_found_frac: float = 0
         ])
         if rng.random() < 0.4:
             nm = nm.title()
+        if nm.lower() in seen:
+            # the combinatorial space is ~22k; beyond that, disambiguate
+            # with a deterministic numeric division suffix
+            nm = f"{nm} division {len(names)}"
         if nm.lower() not in seen:
             seen.add(nm.lower())
             names.append(nm)

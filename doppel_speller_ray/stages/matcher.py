@@ -80,7 +80,13 @@ class TruthIndex:
         self.exact = dict(zip(self.norm_texts, self.title_ids.tolist()))
 
     def score_all(self, qcodes: np.ndarray) -> tuple[np.ndarray, float]:
-        """Modified-Jaccard scores of one query against every truth title."""
+        """Modified-Jaccard scores of one query against every truth title.
+
+        Per query-gram the posting list is a CONTIGUOUS slice of
+        ``post_titles``, so the scatter-add runs per slice with a scalar
+        weight — no per-query index/weight array construction (building
+        those multi-MB temporaries dominated per-query cost on large truth
+        sets with common n-grams)."""
         pos = np.searchsorted(self.codes, qcodes)
         pos_c = np.minimum(pos, max(len(self.codes) - 1, 0))
         in_vocab = (pos < len(self.codes)) & (
@@ -88,9 +94,10 @@ class TruthIndex:
         sel = pos[in_vocab]
         # unseen n-grams contribute max-IDF to the query sum (match_maker.py:151,181)
         q_idf_sum = float(self.idf[sel].sum()) + float((~in_vocab).sum()) * self.max_idf
-        idx = _gather_ranges(self.post_offsets[sel], self.df[sel])
         scores = np.zeros(self.n_truth, dtype=np.float64)
-        np.add.at(scores, self.post_titles[idx], np.repeat(self.idf[sel], self.df[sel]))
+        for g in sel:
+            s, e = self.post_offsets[g], self.post_offsets[g + 1]
+            np.add.at(scores, self.post_titles[s:e], self.idf[g])
         denom = self.sums_truth + (q_idf_sum - scores)
         with np.errstate(divide="ignore", invalid="ignore"):
             jac = np.where(denom > 0, scores / denom, 0.0)

@@ -144,6 +144,8 @@ def test_match_pipeline_with_model_tier(ray_session):
         rd.from_arrow(pa.Table.from_pylist(base)), rd.from_arrow(actuals), cfg)
     rep_model = accuracy_report(
         rd.from_arrow(pa.Table.from_pylist(with_model)), rd.from_arrow(actuals), cfg)
-    # tier 3 must recover additional matches without exploding false positives
+    # tier 3 must recover additional matches without exploding false
+    # positives (a few FPs are the model-tier regime — the reference's own
+    # eval shows FP=2, README.md:45-50)
     assert rep_model["correctly_matched"] >= rep_base["correctly_matched"]
-    assert rep_model["custom_error"] <= rep_base["custom_error"] + 5, (rep_base, rep_model)
+    assert rep_model["incorrectly_matched"] <= 3, (rep_base, rep_model)
