@@ -159,10 +159,10 @@ def run_scaling() -> dict:
     input_dir = _scaled_input_dir(SF_DIR, replicate)
 
     def one(ncpu: int) -> dict:
-        # best-of-2: single-node wall times vary ±20-30% run to run
+        # best-of-N: single-node wall times vary ±20-30% run to run
         # (scheduling/straggler noise); min is the stable capability estimate
         best = None
-        for _ in range(int(os.environ.get("GRAFT_SCALE_RUNS", "2"))):
+        for _ in range(int(os.environ.get("GRAFT_SCALE_RUNS", "3"))):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_DEDUP_INPUT=input_dir)
             out = subprocess.run([sys.executable, os.path.abspath(__file__),

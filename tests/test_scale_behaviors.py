@@ -60,3 +60,22 @@ def test_cluster_output_partitioning_invariant(ray_session):
                       for r in res.clusters.take_all())
         out.append(rows)
     assert out[0] == out[1]
+
+
+def test_join_attach_path_matches_broadcast(ray_session):
+    """Force the hash-join payload-attach path (broadcast_payload_max_bytes=0)
+    and check it produces the same clusters as the broadcast path."""
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.dedup import dedup_pipeline
+    from doppel_speller_ray.sources.fixtures import make_pages
+
+    pages, _ = make_pages(n_clusters=10, n_singletons=30, seed=13)
+    base = DedupConfig(max_chars=None)
+    forced_join = DedupConfig(max_chars=None, broadcast_payload_max_bytes=0)
+
+    r1 = dedup_pipeline(rd.from_arrow(pages), base, id_col="url", text_col="text")
+    c1 = sorted((r["doc_id"], r["cluster_id"]) for r in r1.clusters.take_all())
+    r2 = dedup_pipeline(rd.from_arrow(pages), forced_join, id_col="url", text_col="text")
+    c2 = sorted((r["doc_id"], r["cluster_id"]) for r in r2.clusters.take_all())
+    assert c1 == c2
