@@ -79,3 +79,19 @@ def test_join_attach_path_matches_broadcast(ray_session):
     r2 = dedup_pipeline(rd.from_arrow(pages), forced_join, id_col="url", text_col="text")
     c2 = sorted((r["doc_id"], r["cluster_id"]) for r in r2.clusters.take_all())
     assert c1 == c2
+
+
+def test_distributed_cc_path_matches_driver_cc(ray_session):
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.dedup import dedup_pipeline
+    from doppel_speller_ray.sources.fixtures import make_pages
+
+    pages, _ = make_pages(n_clusters=6, n_singletons=15, seed=23)
+    cfg = DedupConfig(max_chars=None)
+    r1 = dedup_pipeline(rd.from_arrow(pages), cfg, id_col="url", text_col="text")
+    c1 = sorted((r["doc_id"], r["cluster_id"]) for r in r1.clusters.take_all())
+    r2 = dedup_pipeline(rd.from_arrow(pages), cfg, id_col="url", text_col="text",
+                        use_distributed_cc=True)
+    c2 = sorted((r["doc_id"], r["cluster_id"]) for r in r2.clusters.take_all())
+    assert c1 == c2
