@@ -191,9 +191,32 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
                        exact_pairs=exact_pairs, docs=with_rep, stats=stats)
 
 
-def write_clusters(result: DedupResult, out_dir: str) -> None:
+def write_clusters(result: DedupResult, out_dir: str,
+                   n_shards: int | None = None) -> None:
     """Deterministic, resumable output: clusters sorted by doc_id, written
     as partitioned Parquet (many part files — never one giant file).
     mode="overwrite" so a rerun replaces rather than appends (a bare
-    write_parquet into a non-empty dir silently doubles the output)."""
-    result.clusters.sort("doc_id").write_parquet(out_dir, mode="overwrite")
+    write_parquet into a non-empty dir silently doubles the output).
+
+    With ``n_shards`` the output is hive-partitioned by a stable
+    ``shard = doc_id % n_shards`` column — one directory per key range, so
+    a downstream consumer (or a restarted writer) can address/skip
+    finished shards independently (north_rule resumable layout)."""
+    ds = result.clusters.sort("doc_id")
+    if n_shards:
+        import pyarrow.compute as pc
+
+        def add_shard(t: pa.Table) -> pa.Table:
+            shard = pc.cast(
+                pc.bit_wise_and(t["doc_id"], n_shards - 1)
+                if (n_shards & (n_shards - 1)) == 0
+                else pc.subtract(t["doc_id"],
+                                 pc.multiply(pc.divide(t["doc_id"], n_shards),
+                                             n_shards)),
+                pa.int32())
+            return t.append_column("shard", shard)
+
+        ds = ds.map_batches(add_shard, batch_format="pyarrow")
+        ds.write_parquet(out_dir, mode="overwrite", partition_cols=["shard"])
+    else:
+        ds.write_parquet(out_dir, mode="overwrite")
