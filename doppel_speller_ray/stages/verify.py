@@ -53,67 +53,6 @@ def attach_payload(pairs_ds, docs_ds, num_partitions: int = 16, with_text: bool 
     return out
 
 
-def attach_payload_broadcast(pairs_ds, docs_ds, with_text: bool = True):
-    """Broadcast variant of :func:`attach_payload` for small-enough docs
-    payloads: the (id → shingles, text) table is ray.put ONCE and looked up
-    per batch with np.searchsorted — no join actors, no shuffle. The
-    pipeline auto-selects this when the payload fits comfortably in the
-    object store (cfg.broadcast_payload_max_bytes); the hash join remains
-    the both-sides-large path."""
-    import ray
-
-    from ..functions.shingles import list_column_flat
-
-    cols = ["doc_id", "shingles"] + (["norm_text"] if with_text else [])
-    tables = [t for t in ray.get(docs_ds.select_columns(cols).to_arrow_refs())
-              if t.num_rows]
-    if not tables:
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "shingles": pa.array([], pa.list_(pa.uint64())),
-                          **({"norm_text": pa.array([], pa.string())}
-                             if with_text else {})})
-        tables = [empty]
-    tbl = pa.concat_tables(tables, promote_options="none")
-    ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    flat, offsets = list_column_flat(tbl["shingles"].combine_chunks())
-    texts = tbl["norm_text"].to_pylist() if with_text else None
-    order_list = order.tolist()
-    ref = ray.put((ids, flat, offsets, order_list, texts))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        bids, bflat, boff, border, btexts = ray.get(ref)
-
-        def side(col_ids: np.ndarray, side_name: str) -> dict:
-            pos_sorted = np.searchsorted(bids, col_ids)
-            if len(bids) == 0 or (bids[np.minimum(pos_sorted, len(bids) - 1)]
-                                  != col_ids).any():
-                raise KeyError(f"{side_name}: pair references unknown doc_id")
-            rows = [border[p] for p in pos_sorted]
-            # pack shingles straight into a binary column
-            blobs = []
-            txt = []
-            for r in rows:
-                s, e = boff[r], boff[r + 1]
-                blobs.append(bflat[s:e].tobytes())
-                if btexts is not None:
-                    txt.append(btexts[r])
-            out = {f"{side_name}_shingles": pa.array(blobs, pa.binary())}
-            if btexts is not None:
-                out[f"{side_name}_norm_text"] = pa.array(txt, pa.string())
-            return out
-
-        left_ids = batch["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        right_ids = batch["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cols_out = {c: batch[c] for c in batch.column_names}
-        cols_out.update(side(left_ids, "left"))
-        cols_out.update(side(right_ids, "right"))
-        return pa.table(cols_out)
-
-    return pairs_ds.map_batches(attach, batch_format="pyarrow")
-
-
 def verify_pairs_broadcast(pairs_ds, docs_ds, cfg: DedupConfig,
                            docs_tables: list | None = None):
     """Fused payload-attach + verify for the broadcast path.
