@@ -1051,3 +1051,55 @@ ORACLES.update({
     "top2_orders_per_customer": SQL_TOP2_ORDERS_PER_CUSTOMER,
     "customers_per_region": SQL_CUSTOMERS_PER_REGION,
 })
+
+
+def q_event_type_counts(sf_dir: str):
+    """Simple pivot-style grouped counts with mean value per event type."""
+    from ray.data.aggregate import Count, Mean
+
+    agg = _read(sf_dir, "events", ["event_type", "value"]) \
+        .groupby("event_type").aggregate(Count(alias_name="n"),
+                                         Mean("value", alias_name="avg_value"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "n": pc.cast(t["n"], pa.int64()),
+                         "avg_value": pc.round(t["avg_value"], 4)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_EVENT_TYPE_COUNTS = """
+SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_doc_length_histogram(sf_dir: str, bucket: int = 50):
+    """Bucketed length histogram over documents (n_chars // 50)."""
+    from ray.data.aggregate import Count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = t["n_chars"].to_numpy(zero_copy_only=False) // bucket
+        return pa.table({"length_bucket": pa.array(b * bucket, pa.int64())})
+
+    return _docs(sf_dir, ["n_chars"]).map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("length_bucket").aggregate(Count(alias_name="n")) \
+        .map_batches(lambda t: pa.table({"length_bucket": t["length_bucket"],
+                                         "n": pc.cast(t["n"], pa.int64())}),
+                     batch_format="pyarrow")
+
+
+SQL_DOC_LENGTH_HISTOGRAM = """
+SELECT (n_chars // 50) * 50 AS length_bucket, count(*) AS n
+FROM documents GROUP BY (n_chars // 50) * 50
+"""
+
+QUERIES.update({
+    "event_type_counts": q_event_type_counts,
+    "doc_length_histogram": q_doc_length_histogram,
+})
+ORACLES.update({
+    "event_type_counts": SQL_EVENT_TYPE_COUNTS,
+    "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
+})
