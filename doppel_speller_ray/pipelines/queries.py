@@ -102,22 +102,26 @@ def _word_df_ds(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
         words = pc.split_pattern(norm, pattern=" ")
-        flat = words.values.to_numpy(zero_copy_only=False)
+        flat = words.values
         lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(t)), lens)
-        # distinct (doc, word): count each word once per doc (common.py:141)
-        uniq = {}
-        for d, w in zip(doc_idx, flat):
-            if w:
-                uniq[(d, w)] = None
-        from collections import Counter
-
-        counts = Counter(w for (_, w) in uniq)
-        if not counts:
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        # distinct (doc, word) via dictionary-encode + np.unique over packed
+        # (doc, code) keys — vectorized, no per-occurrence Python
+        # (VERDICT r1 item 7)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        v = len(vocab)
+        if v == 0:
             return pa.table({"word": pa.array([], pa.string()),
                              "df_part": pa.array([], pa.int64())})
-        return pa.table({"word": pa.array(list(counts.keys())),
-                         "df_part": pa.array(list(counts.values()), pa.int64())})
+        uniq_keys = np.unique(doc_idx * v + codes)
+        word_codes = (uniq_keys % v).astype(np.int64)
+        df = np.bincount(word_codes, minlength=v).astype(np.int64)
+        nonempty = np.asarray(pc.not_equal(vocab, "")) & (df > 0)
+        keep = np.nonzero(nonempty)[0]
+        return pa.table({"word": vocab.take(pa.array(keep, pa.int64())),
+                         "df_part": pa.array(df[keep], pa.int64())})
 
     partials = _docs(sf_dir, ["doc_id", "text"]).map_batches(partial, batch_format="pyarrow")
     return partials.groupby("word").aggregate(Sum("df_part", alias_name="df"))
@@ -939,9 +943,10 @@ def q_customers_without_orders(sf_dir: str, min_price: float = 400_000.0):
     def anti(t: pa.Table) -> pa.Table:
         ks = ray.get(ref)
         ids = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(ks, ids)
-        pos_c = np.minimum(pos, max(len(ks) - 1, 0))
-        found = (len(ks) > 0) & (ks[pos_c] == ids)
+        if len(ks) == 0:  # nobody qualifies → every customer passes
+            return pa.table({"c_custkey": pa.array(ids, pa.int64())})
+        pos_c = np.minimum(np.searchsorted(ks, ids), len(ks) - 1)
+        found = ks[pos_c] == ids
         return pa.table({"c_custkey": pa.array(ids[~found], pa.int64())})
 
     return _read(sf_dir, "customer", ["c_custkey"]).map_batches(anti, batch_format="pyarrow")
@@ -976,7 +981,7 @@ WITH e AS (
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
   FROM events)
-SELECT user_id, 1 + sum(new_s) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(1 + sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM e GROUP BY user_id
 """
 

@@ -9,8 +9,12 @@ NOT all-paired (that is O(S²) on boilerplate-heavy buckets). Instead the
 bucket's sorted doc_ids are *chained*: each doc pairs with its next
 ``cfg.chain_width`` neighbours — O(S·w) pairs — and union-find transitivity
 reconnects the full cluster from verified chain links. Oversized-bucket
-counts are reported per batch via the ``oversized`` column for observability
-(no silent recall loss: every member still appears in ≥1 pair).
+counts are reported per pair via the ``oversized`` column for observability.
+With ``cfg.simhash_max_hamming=None`` every bucket member still appears in
+≥1 emitted pair (no silent recall loss from the cap alone); with the SimHash
+prefilter enabled, chained pairs whose endpoints are far apart in Hamming
+space are dropped like any other pair — transitive reconnection then relies
+on the verified survivors, which the planted-recall e2e tests exercise.
 """
 
 from __future__ import annotations
@@ -63,8 +67,8 @@ def _pairs_for_sorted_runs(ids: np.ndarray, sims: np.ndarray | None,
                            cfg: DedupConfig):
     """Vectorized pair emission for bucket runs in a (bucket, doc_id)-sorted
     id array. Small buckets → all pairs; oversized → neighbour chaining.
-    Returns (left, right, oversized, left_pos, right_pos) where the pos
-    arrays index into the sorted arrays (for SimHash gathering)."""
+    Returns (left_pos, right_pos, oversized): position arrays indexing into
+    the sorted arrays (callers gather ids/SimHashes through them)."""
     lefts, rights, overs = [], [], []
     for s, c in zip(starts, counts):
         seg = np.arange(s, s + c, dtype=np.int64)
@@ -171,9 +175,9 @@ def candidate_pairs(bands_ds, cfg: DedupConfig, num_partitions: int | None = Non
         h = pair_hash(l, r)
         return t.append_column("ppart", pa.array((h % P).astype(np.int64), pa.int64()))
 
-    # sort-shuffle reduce emits as many blocks as its INPUT has — repartition
-    # first so the downstream dedup/attach/verify stage gets P tasks (the
-    # Levenshtein-heavy verify needs fine-grained blocks for load balance)
+    # pair-hash partition key spreads hot (left_id-skewed) pair ranges across
+    # all P reduce tasks, which also load-balances the Levenshtein-heavy
+    # verify stage that consumes these blocks
     deduped = pairs.map_batches(add_pair_part, batch_format="pyarrow") \
         .groupby("ppart").map_groups(dedup_pairs_partition, batch_format="pyarrow")
     return deduped

@@ -23,16 +23,44 @@ from dataclasses import asdict, is_dataclass
 from typing import Any
 
 
-def config_fingerprint(cfg: Any) -> str:
-    """Stable fingerprint of a config dataclass (or any jsonable dict)."""
+def config_fingerprint(cfg: Any, input_token: str = "") -> str:
+    """Stable fingerprint of a config dataclass (or any jsonable dict),
+    optionally mixed with an input-identity token (source paths + sizes) —
+    without it, rerunning with the same checkpoint_dir and config but a
+    DIFFERENT ``--input`` would silently replay the previous corpus's stage
+    Parquet (stale-resume)."""
     from ..functions.hashing import hash_bytes_rows
     import numpy as np
 
-    payload = json.dumps(asdict(cfg) if is_dataclass(cfg) else cfg,
-                         sort_keys=True, default=str).encode()
+    payload = json.dumps(
+        {"cfg": asdict(cfg) if is_dataclass(cfg) else cfg, "input": input_token},
+        sort_keys=True, default=str).encode()
     data = np.frombuffer(payload, dtype=np.uint8)
     h = hash_bytes_rows(data, np.array([0, len(data)], np.int64), seed=0)[0]
     return f"{int(h):016x}"
+
+
+def input_identity_token(ds) -> str:
+    """Best-effort identity of a Dataset's input: source file paths + byte
+    sizes (metadata-only — no execution) for file-backed datasets, else the
+    logical-plan repr. Used to invalidate checkpoints when the input
+    changes under an unchanged config."""
+    try:
+        files = sorted(ds.input_files())
+        sizes = []
+        for f in files:
+            try:
+                sizes.append(os.path.getsize(f))
+            except OSError:
+                sizes.append(-1)
+        if files:
+            return ";".join(f"{p}:{s}" for p, s in zip(files, sizes))
+    except Exception:
+        pass
+    try:
+        return repr(ds._plan._logical_plan.dag)
+    except Exception:
+        return ""
 
 
 def _file_stats_task(path: str) -> dict:
@@ -112,14 +140,17 @@ def read_manifest(out_dir: str, stage: str) -> dict:
         return json.load(f)
 
 
-def read_or_run(ds_factory, out_dir: str | None, stage: str, cfg: Any):
+def read_or_run(ds_factory, out_dir: str | None, stage: str, cfg: Any,
+                input_token: str = ""):
     """Resume-aware stage boundary: re-read a valid checkpoint, else run
     the factory, checkpoint its output, and return the re-read Dataset.
+    ``input_token`` (see :func:`input_identity_token`) is mixed into the
+    fingerprint so a changed input invalidates the checkpoint chain.
     With no checkpoint dir the stage output is materialized instead (it is
     consumed by multiple downstream branches)."""
     if out_dir is None:
         return ds_factory().materialize()
-    fp = config_fingerprint(cfg)
+    fp = config_fingerprint(cfg, input_token)
     if checkpoint_valid(out_dir, stage, fp):
         return read_checkpoint(out_dir, stage)
     return write_checkpoint(ds_factory(), out_dir, stage, fp)

@@ -184,3 +184,29 @@ def assign_clusters(docs_ds, mapping, id_col: str = "doc_id"):
         return pa.table({id_col: batch[id_col], "cluster_id": pa.array(out, pa.int64())})
 
     return docs_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def assign_clusters_join(docs_ds, labels_ds, id_col: str = "doc_id",
+                         num_partitions: int | None = None):
+    """docs → (doc_id, cluster_id) via a scale-out left join against a
+    labels Dataset (node:int64, label:int64) — the assignment path when the
+    component mapping itself is too large to broadcast. Docs absent from
+    the labels (singletons) keep their own id as cluster_id."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..util import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    ids_only = docs_ds.select_columns([id_col])
+    joined = ids_only.join(labels_ds, join_type="left_outer",
+                           num_partitions=num_partitions,
+                           on=(id_col,), right_on=("node",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cluster = pc.coalesce(t["label"], t[id_col])
+        return pa.table({id_col: t[id_col],
+                         "cluster_id": cluster.cast(pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
