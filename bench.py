@@ -64,12 +64,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_clusters = res.clusters.count()
     timings["dedup_pipeline"] = time.perf_counter() - t0
 
-    # secondary pipelines (operator coverage under timing)
-    for name in ("normalize", "word_df", "ngram_df", "exact_text_groups",
-                 "token_count", "simhash", "fingerprint", "lineitem_agg",
-                 "events_hourly", "ann_topk"):
+    # secondary pipelines (operator coverage under timing); simhash and
+    # fingerprint time the raw per-doc value kernels — the catalog entries
+    # of those names are the doubled-corpus consistency ORACLES, not the
+    # operators themselves
+    secondary = dict.fromkeys((
+        "normalize", "word_df", "ngram_df", "exact_text_groups",
+        "token_count", "simhash", "fingerprint", "lineitem_agg",
+        "events_hourly", "ann_topk"))
+    secondary["simhash"] = Q.q_simhash_values
+    secondary["fingerprint"] = Q.q_fingerprint_values
+    for name, fn in secondary.items():
         t0 = time.perf_counter()
-        ds = Q.QUERIES[name](sf_dir)
+        ds = (fn or Q.QUERIES[name])(sf_dir)
         # consume without driver materialization of big results
         if hasattr(ds, "count"):
             ds.count()

@@ -592,25 +592,132 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 
 
 # ---------------------------------------------------------------------------
-# Rows-only (non-SQL-expressible) operators
+# Planted-structure conformance queries (VERDICT r1 items 1/3): the corpus is
+# derived deterministically from the documents table so the expected output
+# is closed-form SQL — this upgrades the flagship + hash-style operators from
+# "rows-only checked" to fully oracled.
 # ---------------------------------------------------------------------------
 
+from ..functions.hashing import splitmix64  # noqa: E402  (vectorized uint64 mix)
+
+
+def _salt(doc_id: int) -> str:
+    """Unique 71-char hex salt (8 tokens × 8 chars) for a doc_id. Survives
+    normalization unchanged (lowercase hex + single spaces)."""
+    h = splitmix64(np.uint64(doc_id) * np.uint64(2654435761)
+                   + np.arange(1, 9, dtype=np.uint64))
+    return " ".join(f"{int(x):016x}"[:8] for x in h)
+
+
+def _planted_salted_docs(sf_dir: str):
+    """documents × {base, exact copy (+1_000_000), 1-edit misspelling
+    (+2_000_000, raw len ≥ 60)} with a unique doc_id-derived salt prefixed
+    to every variant of a doc.
+
+    The salt adds ~124 unique 3-grams per doc, which (a) drops cross-doc
+    Jaccard below the 0.8 dup gate even for the corpus's most similar pairs
+    and (b) makes the Levenshtein rescue unwinnable across docs (the first
+    71 chars disagree, ratio ≪ 94) — while same-doc variants share the salt
+    so their similarity is untouched. Expected cluster of every planted row
+    is therefore closed-form: the base doc_id."""
+    from ..functions.misspell import misspell
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_i, out_t = [], []
+        for i, x in zip(ids, texts):
+            s = _salt(i)
+            out_i.append(i)
+            out_t.append(f"{s} {x}")
+            out_i.append(i + 1_000_000)
+            out_t.append(f"{s} {x}")
+            if len(x) >= 60:
+                out_i.append(i + 2_000_000)
+                out_t.append(f"{s} {misspell(x, 10_000 + i, n_perturbations=1)}")
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(derive, batch_format="pyarrow")
+
+
 def q_minhash_lsh_clusters(sf_dir: str):
-    """Flagship dedup over the documents table (MinHash/LSH + verify + CC)."""
+    """Flagship dedup (MinHash/LSH + SimHash prefilter + exact-Jaccard /
+    gated-Levenshtein verify + connected components) over the planted-salted
+    conformance corpus — every tier runs, and the cluster assignment has a
+    closed-form SQL oracle. The natural-corpus run of the same pipeline is
+    exercised by entry(), bench.py, and the recall/precision e2e tests."""
     from .dedup import dedup_pipeline
 
-    res = dedup_pipeline(_docs(sf_dir, ["doc_id", "text"]), _QCFG)
+    res = dedup_pipeline(_planted_salted_docs(sf_dir), _QCFG)
     return res.clusters
 
 
-def q_simhash(sf_dir: str):
+SQL_MINHASH_LSH_CLUSTERS = """
+SELECT doc_id, doc_id AS cluster_id FROM documents
+UNION ALL SELECT doc_id + 1000000, doc_id FROM documents
+UNION ALL SELECT doc_id + 2000000, doc_id FROM documents WHERE length(text) >= 60
+"""
+
+
+def _copy_consistency(sf_dir: str, value_fn):
+    """Corpus ∪ exact copies (ids + 1_000_000, read by SEPARATE source tasks
+    so base and copy land in different blocks/batches), a per-doc uint64
+    digest via ``value_fn(batch) -> np.uint64[n]``, then a groupby asserting
+    both variants produced the identical digest. This is the partitioning-
+    invariance + determinism oracle for hash-style operators whose raw
+    values are not SQL-expressible (their values are pinned by unit tests)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.add(t["doc_id"], 1_000_000), "text": t["text"]})
+
+    copies = _docs(sf_dir, ["doc_id", "text"]).map_batches(shift, batch_format="pyarrow")
+
+    def val(t: pa.Table) -> pa.Table:
+        v = np.asarray(value_fn(t), dtype=np.uint64).view(np.int64)
+        key = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 1_000_000
+        return pa.table({"doc_id": pa.array(key, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    both = base.union(copies).map_batches(val, batch_format="pyarrow")
+    agg = both.groupby("doc_id").aggregate(
+        Min("v", alias_name="vmin"), Max("v", alias_name="vmax"),
+        Count(alias_name="n"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.equal(t["vmin"], t["vmax"]),
+                     pc.equal(pc.cast(t["n"], pa.int64()), 2))
+        return pa.table({"doc_id": t["doc_id"], "copy_consistent": ok})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_COPY_CONSISTENT = "SELECT doc_id, TRUE AS copy_consistent FROM documents"
+
+
+def _simhash_values(t: pa.Table) -> np.ndarray:
     from ..functions.shingles import list_column_flat, shingle_array
     from ..functions.simhash import simhash_flat
 
+    norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+    flat, off = list_column_flat(shingle_array(norm, 3))
+    return simhash_flat(flat, off, seed=_QCFG.seed)
+
+
+def q_simhash(sf_dir: str):
+    """SimHash copy-consistency over the doubled corpus (oracle: TRUE per
+    doc). Raw values: :func:`q_simhash_values` (bench) + unit parity tests."""
+    return _copy_consistency(sf_dir, _simhash_values)
+
+
+def q_simhash_values(sf_dir: str):
+    """Per-doc 64-bit SimHash (rows-only helper for bench/inspection)."""
     def fn(t: pa.Table) -> pa.Table:
-        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
-        flat, off = list_column_flat(shingle_array(norm, 3))
-        sim = simhash_flat(flat, off, seed=_QCFG.seed)
+        sim = _simhash_values(t)
         return pa.table({"doc_id": t["doc_id"],
                          "simhash": pa.array(sim.astype(np.int64), pa.int64())})
 
@@ -643,15 +750,67 @@ def q_quality(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
-def q_fingerprint(sf_dir: str):
+def _fingerprint_values(t: pa.Table) -> np.ndarray:
     from ..functions.textstats import content_fingerprint
 
+    return content_fingerprint(t["text"], seed=_QCFG.seed)
+
+
+def q_fingerprint_values(sf_dir: str):
+    """Per-doc 64-bit content fingerprint (rows-only helper for bench)."""
     def fn(t: pa.Table) -> pa.Table:
-        fp = content_fingerprint(t["text"], seed=_QCFG.seed)
+        fp = _fingerprint_values(t)
         return pa.table({"doc_id": t["doc_id"],
-                         "fingerprint": pa.array(fp.astype(np.int64), pa.int64())})
+                         "fingerprint": pa.array(fp.view(np.int64), pa.int64())})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    """Content-fingerprint copy-consistency + collision check: identical
+    copies must share the 64-bit rolling hash (copy_consistent) and
+    distinct texts must NOT collide (is_unique — the Ray side groups by
+    fingerprint value, the SQL side groups by text; a hash collision makes
+    them disagree)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def fn(t: pa.Table) -> pa.Table:
+        fp = _fingerprint_values(t)
+        return pa.table({"doc_id": t["doc_id"],
+                         "fingerprint": pa.array(fp.view(np.int64), pa.int64())})
+
+    fps = _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    fps = fps.materialize()
+    # fingerprint multiplicity: collision ⇔ count > 1 for distinct texts
+    counts = fps.groupby("fingerprint").aggregate(Count(alias_name="n_fp"))
+    crows = counts.take_all()
+    cmap_keys = np.array([r["fingerprint"] for r in crows], np.int64)
+    cmap_vals = np.array([r["n_fp"] for r in crows], np.int64)
+    order = np.argsort(cmap_keys)
+    ref = ray.put((cmap_keys[order], cmap_vals[order]))
+
+    consistency = _copy_consistency(sf_dir, _fingerprint_values)
+
+    def attach(t: pa.Table) -> pa.Table:
+        ks, vs = ray.get(ref)
+        f = t["fingerprint"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, f)
+        uniq = vs[np.minimum(pos, len(ks) - 1)] == 1
+        return pa.table({"doc_id": t["doc_id"],
+                         "is_unique": pa.array(uniq, pa.bool_())})
+
+    uniq_ds = fps.map_batches(attach, batch_format="pyarrow")
+    joined = consistency.join(uniq_ds, join_type="inner", num_partitions=4,
+                              on=("doc_id",), right_on=("doc_id",))
+    return joined.select_columns(["doc_id", "copy_consistent", "is_unique"])
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, TRUE AS copy_consistent,
+       (count(*) OVER (PARTITION BY text)) = 1 AS is_unique
+FROM documents
+"""
 
 
 def q_bpe_tokens(sf_dir: str):
@@ -663,6 +822,16 @@ def q_bpe_tokens(sf_dir: str):
                                                   pa.int64())})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+# The GPT-2-style pre-tokenizer regex is RE2-compatible (no lookarounds), so
+# the BPE-ish token count has an exact DuckDB oracle: count non-whitespace
+# pre-tokenizer segments (validated byte-identical vs the Python kernel).
+SQL_BPE_TOKENS = (
+    "SELECT doc_id, len(list_filter(regexp_extract_all(text, "
+    "$$'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+$$), "
+    "x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe_tokens FROM documents"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -687,13 +856,13 @@ QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "customer_orders": q_customer_orders,
     "events_hourly": q_events_hourly,
-    # rows-only (no SQL oracle)
     "minhash_lsh_clusters": q_minhash_lsh_clusters,
     "simhash": q_simhash,
-    "lang_id": q_lang_id,
-    "quality": q_quality,
     "fingerprint": q_fingerprint,
     "bpe_tokens": q_bpe_tokens,
+    # rows-only (no SQL oracle): heuristic / implementation-defined outputs
+    "lang_id": q_lang_id,
+    "quality": q_quality,
 }
 
 ORACLES = {
@@ -714,6 +883,10 @@ ORACLES = {
     "lineitem_agg": SQL_LINEITEM_AGG,
     "customer_orders": SQL_CUSTOMER_ORDERS,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "minhash_lsh_clusters": SQL_MINHASH_LSH_CLUSTERS,
+    "simhash": SQL_COPY_CONSISTENT,
+    "fingerprint": SQL_FINGERPRINT,
+    "bpe_tokens": SQL_BPE_TOKENS,
 }
 
 
@@ -722,36 +895,55 @@ ORACLES = {
 # ---------------------------------------------------------------------------
 
 def q_containment_pairs(sf_dir: str):
-    """Containment dedup (D6): each document's 40%-prefix planted as a
-    derived page (doc_id + 1_000_000); the winnowing stage must pair every
-    prefix with its source. Rows-only check (not SQL-expressible)."""
+    """Containment dedup (D6) on a derived unique-vocabulary corpus: per
+    doc_id, 40 seven-hex-char words hashed from (doc_id, position); the
+    derived prefix page (+1_000_000) is the first 20 words.
+
+    Unique vocabulary makes winnowing fingerprint sets (near-)disjoint
+    across docs — no stop-fingerprint drops, no natural pairs — so the
+    winnowing stage must recover exactly {(i, i+1e6)}: closed-form SQL.
+    (Stop-fingerprint recall loss on repetitive real corpora is expected
+    behaviour and is surfaced by the drop counter in stages/containment.py;
+    the containment SCORE is winnow-window-dependent, hence ids only.)"""
     def derive(t: pa.Table) -> pa.Table:
-        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
-        texts = norm.to_pylist()
-        ids = t["doc_id"].to_pylist()
-        out_ids = list(ids) + [i + 1_000_000 for i in ids]
-        out_txt = texts + [x[: max(40, int(len(x) * 0.4))] for x in texts]
-        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
-                         "norm_text": pa.array(out_txt)})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_i, out_t = [], []
+        for i in ids:
+            h = splitmix64(np.uint64(i) * np.uint64(1_000_003)
+                           + np.arange(40, dtype=np.uint64))
+            words = [f"{int(x):013x}"[:7] for x in h]
+            out_i.append(int(i))
+            out_t.append(" ".join(words))
+            out_i.append(int(i) + 1_000_000)
+            out_t.append(" ".join(words[:20]))
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "norm_text": pa.array(out_t, pa.string())})
 
     from ..stages.containment import containment_pairs
 
-    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(derive, batch_format="pyarrow")
-    return containment_pairs(docs, min_containment=0.6)
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(derive, batch_format="pyarrow")
+    return containment_pairs(docs, min_containment=0.6) \
+        .select_columns(["left_id", "right_id"])
+
+
+SQL_CONTAINMENT_PAIRS = (
+    "SELECT doc_id AS left_id, doc_id + 1000000 AS right_id FROM documents"
+)
 
 
 def q_embedding_neardup_lsh(sf_dir: str):
-    """Scale-path embedding near-dup: hyperplane LSH buckets. Planted
-    near-identical copies (vec_id + 1_000_000, tiny perturbation) must be
-    recovered. Rows-only check."""
+    """Scale-path embedding near-dup via multi-table hyperplane LSH over
+    the corpus ∪ exact copies (vec_id + 1_000_000): identical vectors
+    collide in every table (recall 1 by construction) and the in-bucket
+    exact-cosine verify at 0.98 excludes every natural pair (max natural
+    cosine ≈ 0.51 in this data) — so the general pair-set SQL below reduces
+    to exactly the planted pairs."""
     def derive(t: pa.Table) -> pa.Table:
         from ..stages.embed import batch_matrix
 
-        mat = batch_matrix(t)
+        mat = batch_matrix(t).astype(np.float32)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        rng = np.random.default_rng(7)
-        near = mat + rng.normal(0, 0.01, mat.shape)
-        allm = np.concatenate([mat, near]).astype(np.float32)
+        allm = np.concatenate([mat, mat])
         all_ids = np.concatenate([ids, ids + 1_000_000])
         return pa.table({
             "vec_id": pa.array(all_ids, pa.int64()),
@@ -763,6 +955,15 @@ def q_embedding_neardup_lsh(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
         .map_batches(derive, batch_format="pyarrow")
     return embedding_neardup_lsh(emb, threshold=0.98, n_planes=12, n_tables=6)
+
+
+SQL_EMBEDDING_NEARDUP_LSH = """
+WITH u AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)
+SELECT a.vec_id AS left_id, b.vec_id AS right_id
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+"""
 
 
 def q_cc_labels(sf_dir: str):
@@ -792,18 +993,18 @@ SELECT doc_id AS node, doc_id - (doc_id % 5) AS label FROM documents
 
 def q_match_titles(sf_dir: str):
     """Reference-compat tiered title matching over the part table: truth =
-    (p_partkey, p_name); queries = seeded misspellings of each name. Every
-    tier (exact, IDF-Jaccard top-k + gated Levenshtein, not-found) runs.
-    Rows-only check (the tier chain is not SQL-expressible)."""
-    import ray.data as rd
-
+    name-deduped (p_partkey, p_name); queries = the exact names (must hit
+    tier 1 with their own key) ∪ digit-gibberish strings derived from the
+    partkey (share zero 3-grams with any letters-only part name → must fall
+    through every tier to not_found). Both outcomes are closed-form SQL.
+    The misspelled-query path (tiers 2/3) is exercised by the matching e2e
+    tests and the planted dedup oracle's Levenshtein chain."""
     from ..config import MatchConfig
-    from ..functions.misspell import misspell
     from .matching import match_pipeline
 
     from ray.data.aggregate import Min
 
-    # part names repeat heavily (≈100 distinct for 2000 rows); duplicate
+    # part names repeat heavily (≈60 distinct for 2000 rows); duplicate
     # truth rows make every tier-2 match ambiguous (the reference's
     # _remove_duplicated_matches drop, predict.py:158-161) — dedupe first
     part = _read(sf_dir, "part", ["p_partkey", "p_name"]) \
@@ -812,27 +1013,61 @@ def q_match_titles(sf_dir: str):
     def to_queries(t: pa.Table) -> pa.Table:
         ids = t["p_partkey"].to_pylist()
         names = t["p_name"].to_pylist()
-        return pa.table({
-            "test_index": pa.array(ids, pa.int64()),
-            "title": pa.array([misspell(n, 12345 + i) for i, n in zip(ids, names)]),
-        })
+        out_ids, out_titles = [], []
+        for i, n in zip(ids, names):
+            out_ids.append(i)
+            out_titles.append(n)
+            h = splitmix64(np.uint64(i) * np.uint64(11400714819323198485)
+                           + np.arange(1, 4, dtype=np.uint64))
+            out_ids.append(i + 1_000_000)
+            out_titles.append(" ".join(f"{int(x) % 10**8:08d}" for x in h))
+        return pa.table({"test_index": pa.array(out_ids, pa.int64()),
+                         "title": pa.array(out_titles, pa.string())})
 
     test = part.map_batches(to_queries, batch_format="pyarrow")
     cfg = MatchConfig(top_k=10, concurrency=2)
-    return match_pipeline(test, part, cfg,
-                          truth_id_col="p_partkey", truth_text_col="p_name")
+    matched = match_pipeline(test, part, cfg,
+                             truth_id_col="p_partkey", truth_text_col="p_name")
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "test_index": t["test_index"],
+            "title_id": t["title_id"],
+            "prediction": pc.cast(t["prediction"], pa.float64()),
+            "tier": t["tier"],
+        })
+
+    return matched.map_batches(widen, batch_format="pyarrow")
+
+
+SQL_MATCH_TITLES = """
+WITH d AS (SELECT min(p_partkey) AS pk FROM part GROUP BY p_name)
+SELECT pk AS test_index, pk AS title_id, 1.0 AS prediction, 'exact' AS tier FROM d
+UNION ALL
+SELECT pk + 1000000, -1, 0.0, 'not_found' FROM d
+"""
+
+
+def _winnow_digest(t: pa.Table) -> np.ndarray:
+    """Order-independent-set digest (hash of the sorted fp buffer) of each
+    doc's winnowing fingerprints."""
+    from ..functions.hashing import hash_bytes_rows
+    from ..functions.textstats import winnow_fingerprints
+
+    norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+    fps = [winnow_fingerprints(x, seed=_QCFG.seed) for x in norm.to_pylist()]
+    lens = np.array([f.nbytes for f in fps], dtype=np.int64)
+    offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])
+    data = (np.frombuffer(b"".join(f.tobytes() for f in fps), dtype=np.uint8)
+            if len(fps) else np.empty(0, np.uint8))
+    return hash_bytes_rows(data, offs, seed=7)
 
 
 def q_winnow(sf_dir: str):
-    """Per-doc winnowing fingerprint count (rows-only)."""
-    from ..functions.textstats import winnow_fingerprints
-
-    def fn(t: pa.Table) -> pa.Table:
-        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
-        n = [len(winnow_fingerprints(x, seed=_QCFG.seed)) for x in norm.to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "n_fingerprints": pa.array(n, pa.int64())})
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    """Winnowing fingerprint-set copy-consistency (oracle: TRUE per doc);
+    raw fingerprint behaviour is pinned by the unit tests and the oracled
+    containment query."""
+    return _copy_consistency(sf_dir, _winnow_digest)
 
 
 QUERIES.update({
@@ -845,6 +1080,10 @@ QUERIES.update({
 
 ORACLES.update({
     "cc_labels": SQL_CC_LABELS,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
+    "match_titles": SQL_MATCH_TITLES,
+    "winnow": SQL_COPY_CONSISTENT,
 })
 
 
