@@ -73,7 +73,14 @@ def cmd_generate_predictions(args) -> int:
     _ensure_ray(args.num_cpus)
     truth = _read_any(args.truth, _TRUTH_MAPPING, args.delimiter)
     test = _read_any(args.test, _TEST_MAPPING, args.delimiter)
-    out = match_pipeline(test, truth, MatchConfig())
+    model = None
+    if getattr(args, "model", None):
+        # tier-3 verifier (reference predict.py:79-82 unpickles its booster
+        # the same way); broadcast once, loaded per matcher actor
+        from .stages.pair_model import BoostedPairModel
+
+        model = BoostedPairModel.load(args.model)
+    out = match_pipeline(test, truth, MatchConfig(), model=model)
     # reference output contract: (title_id, test_index) sorted, −1 not found
     # (predict.py:256-272)
     if args.out.endswith(".csv"):
@@ -138,6 +145,8 @@ def main(argv=None) -> int:
     g.add_argument("--test", required=True)
     g.add_argument("--out", required=True)
     g.add_argument("--delimiter", default="|")
+    g.add_argument("--model", default=None,
+                   help="optional pickled tier-3 verifier (train-model output)")
     g.set_defaults(fn=cmd_generate_predictions)
 
     c = sub.add_parser("closest-search-single-title", parents=[common])

@@ -95,8 +95,10 @@ def train_verifier(truth_ds, cfg: MatchConfig = MatchConfig(), *,
 
     rng = np.random.default_rng(cfg.seed)
     is_eval = rng.random(len(y)) < eval_fraction
-    model = LogisticPairModel(beta=cfg.false_positive_penalty, seed=cfg.seed)
-    model.fit(X[~is_eval], y[~is_eval])
+    from ..stages.pair_model import BoostedPairModel
+
+    model = BoostedPairModel(beta=cfg.false_positive_penalty, seed=cfg.seed)
+    model.fit(X[~is_eval], y[~is_eval], eval_set=(X[is_eval], y[is_eval]))
 
     p_train = model.predict_proba(X[~is_eval])
     p_eval = model.predict_proba(X[is_eval])

@@ -42,14 +42,48 @@ def winnow_batch(batch: pa.Table, *, k: int = 8, w: int = 16, seed: int = 42,
     })
 
 
+class DropCounter:
+    """Ray actor accumulating stop-fingerprint drop counts across partition
+    tasks — the north rule's "no silent recall loss": fingerprints shared by
+    more than ``max_df`` docs are boilerplate and are not paired, and this
+    surfaces how many were dropped instead of hiding it. One fire-and-forget
+    call per partition, not per row."""
+
+    def __init__(self) -> None:
+        self.n_dropped = 0
+        self.partitions_reporting = 0
+
+    def add(self, n: int) -> None:
+        self.n_dropped += int(n)
+        self.partitions_reporting += 1
+
+    def get(self) -> dict:
+        return {"stop_fingerprints_dropped": self.n_dropped,
+                "partitions_reporting": self.partitions_reporting}
+
+
+def containment_pairs_with_stats(docs_ds, **kwargs):
+    """Run :func:`containment_pairs` with a drop counter attached. Returns
+    ``(pairs_ds, stats_fn)`` — call ``stats_fn()`` AFTER consuming the pairs
+    Dataset to read the accumulated stop-fingerprint drop counts."""
+    import ray
+
+    counter = ray.remote(num_cpus=0)(DropCounter).remote()
+    pairs = containment_pairs(docs_ds, drop_counter=counter, **kwargs)
+    return pairs, (lambda: ray.get(counter.get.remote()))
+
+
 def containment_pairs(docs_ds, *, min_containment: float = 0.7, k: int = 8,
                       w: int = 16, seed: int = 42, max_df: int = 64,
-                      min_fps: int = 4, num_partitions: int | None = None):
+                      min_fps: int = 4, num_partitions: int | None = None,
+                      drop_counter=None):
     """docs Dataset (doc_id, norm_text) → (left_id, right_id, containment).
 
     ``containment`` = shared fingerprints / min(total fingerprints); pairs
     below ``min_containment`` are dropped. Docs with < ``min_fps``
     fingerprints (shorter than ~w+k chars) are skipped — too little signal.
+    ``drop_counter``: optional :class:`DropCounter` actor handle; each
+    partition reports its stop-fingerprint drop count to it.
     """
     P = num_partitions or default_task_partitions()
 
@@ -84,6 +118,8 @@ def containment_pairs(docs_ds, *, min_containment: float = 0.7, k: int = 8,
             seg_n = nfp[s:s + c]
             iu = np.triu_indices(c, k=1)
             out.append((seg_ids[iu[0]], seg_ids[iu[1]], seg_n[iu[0]], seg_n[iu[1]]))
+        if drop_counter is not None and n_stop:
+            drop_counter.add.remote(n_stop)  # fire-and-forget, per partition
         if not out:
             z = np.empty(0, np.int64)
             return pa.table({"left_id": pa.array(z, pa.int64()),

@@ -77,9 +77,48 @@ def url_to_doc_id(urls: pa.Array | pa.ChunkedArray, seed: int = 0) -> pa.Array:
 
     Hash-derived ids are how a 10^12-row corpus gets ids without a global
     sequence; masked to 63 bits so the id stays a non-negative int64.
+
+    Collision budget: the birthday bound at N=10^12 ids in a 63-bit space
+    expects ~N²/2^64 ≈ 5×10⁴ colliding pairs — each silently merging two
+    unrelated urls into one document before any dedup logic runs. At that
+    scale run :func:`check_id_collisions` once per ingest (one groupby
+    shuffle) and remap the colliding slice with a different seed, or carry
+    a second independent hash column as a 126-bit effective key. Below
+    ~10^8 docs the expected collision count is < 0.001 and the check is
+    skippable.
     """
     h = hash_strings(urls, seed) & np.uint64(0x7FFFFFFFFFFFFFFF)
     return pa.array(h.astype(np.int64), type=pa.int64())
+
+
+def check_id_collisions(pages_ds, url_col: str = "url", seed: int = 0):
+    """Count doc_ids claimed by more than one distinct url (hash-id
+    collision detection, opt-in). Returns the number of colliding ids.
+
+    One groupby shuffle over 16-byte rows: (doc_id, url-hash-with-a-
+    DIFFERENT-seed); an id whose min/max secondary hash differ is claimed
+    by ≥2 urls (the secondary hash colliding for the same pair as the
+    primary has probability ~2^-126 — negligible)."""
+    from ray.data.aggregate import Max, Min
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = url_to_doc_id(t[url_col], seed)
+        h2 = hash_strings(t[url_col], seed ^ 0x5DEECE66D).astype(np.int64)
+        return pa.table({"doc_id": ids, "h2": pa.array(h2, pa.int64())})
+
+    agg = pages_ds.map_batches(project, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Min("h2", alias_name="h2_min"),
+                                     Max("h2", alias_name="h2_max"))
+
+    def count_bad(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bad = pc.sum(pc.cast(pc.not_equal(t["h2_min"], t["h2_max"]),
+                             pa.int64())).as_py() or 0
+        return pa.table({"n_collisions": pa.array([bad], pa.int64())})
+
+    parts = agg.map_batches(count_bad, batch_format="pyarrow")
+    return int(sum(r["n_collisions"] for r in parts.take_all()))
 
 
 def prepare_pages_batch(batch: pa.Table, *, cfg: DedupConfig,

@@ -114,6 +114,25 @@ def test_containment_pairs(ray_session):
     assert all(3 not in p for p in got)
 
 
+def test_containment_stop_fingerprint_drops_surface(ray_session):
+    """Boilerplate fingerprints shared by > max_df docs are dropped — and
+    the drop count must SURFACE via the DropCounter actor (no silent recall
+    loss)."""
+    import ray.data as rd
+
+    from doppel_speller_ray.stages.containment import containment_pairs_with_stats
+
+    boiler = "cookie policy accept all rights reserved terms of service gdpr "
+    rows = [{"doc_id": i, "norm_text": boiler * 4 + f"unique tail {i} " * 6}
+            for i in range(40)]
+    pairs, stats_fn = containment_pairs_with_stats(
+        rd.from_items(rows), min_containment=0.9, max_df=8)
+    pairs.count()  # consume → partition tasks report
+    stats = stats_fn()
+    assert stats["stop_fingerprints_dropped"] > 0, stats
+    assert stats["partitions_reporting"] >= 1, stats
+
+
 def test_embedding_lsh_neardup(ray_session):
     import ray.data as rd
 
