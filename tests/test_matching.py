@@ -130,15 +130,29 @@ def test_match_pipeline_with_model_tier(ray_session):
     from doppel_speller_ray.pipelines.matching import accuracy_report, match_pipeline
     from doppel_speller_ray.pipelines.training import train_verifier
 
+    from doppel_speller_ray.functions.misspell import misspell
+
     truth, test, actuals = make_titles(n_truth=200, n_test=120, seed=21)
+    # 1-edit queries are fully handled by tier 2 (gated Levenshtein); tier 3
+    # only has work where the ratio falls under 94 — append HEAVY (3-edit)
+    # misspellings of known truth rows to exercise the model tier
+    names = truth["title"].to_pylist()
+    ids = truth["title_id"].to_pylist()
+    extra_q, extra_a = [], []
+    for j in range(40):
+        extra_q.append({"test_index": 1000 + j,
+                        "title": misspell(names[j], 777 + j, n_perturbations=3)})
+        extra_a.append({"test_index": 1000 + j, "title_id": ids[j]})
+    test = pa.Table.from_pylist(test.to_pylist() + extra_q)
+    actuals = pa.Table.from_pylist(actuals.to_pylist() + extra_a)
+
     cfg = MatchConfig(top_k=20, concurrency=2, seed=21)
     model, _ = train_verifier(rd.from_arrow(truth), cfg)
 
     base = match_pipeline(rd.from_arrow(test), rd.from_arrow(truth), cfg).take_all()
     with_model = match_pipeline(rd.from_arrow(test), rd.from_arrow(truth), cfg,
                                 model=model).take_all()
-    tiers = {r["tier"] for r in with_model}
-    assert "model" in tiers or all(r["tier"] != "not_found" for r in base)
+    assert "model" in {r["tier"] for r in with_model}
 
     rep_base = accuracy_report(
         rd.from_arrow(pa.Table.from_pylist(base)), rd.from_arrow(actuals), cfg)
@@ -146,6 +160,8 @@ def test_match_pipeline_with_model_tier(ray_session):
         rd.from_arrow(pa.Table.from_pylist(with_model)), rd.from_arrow(actuals), cfg)
     # tier 3 must recover additional matches without exploding false
     # positives (a few FPs are the model-tier regime — the reference's own
-    # eval shows FP=2, README.md:45-50)
-    assert rep_model["correctly_matched"] >= rep_base["correctly_matched"]
+    # eval shows FP=2, README.md:45-50); measured here: 85→103 correct,
+    # 0 FPs, custom error 34→16
+    assert rep_model["correctly_matched"] > rep_base["correctly_matched"]
     assert rep_model["incorrectly_matched"] <= 3, (rep_base, rep_model)
+    assert rep_model["custom_error"] < rep_base["custom_error"]
