@@ -132,6 +132,48 @@ def detect_language(text: str) -> str:
     return best_lang if best_score > 0.02 else "und"
 
 
+def detect_language_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized :func:`detect_language` over a whole batch (byte-identical
+    decisions): one Arrow regex pass for CJK counts, one split, then per-
+    language ``np.isin`` over the flattened token array + per-doc bincounts
+    — no per-row Python (the scalar version stays as the parity oracle)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    n = len(texts)
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
+    non_cjk = pc.replace_substring_regex(texts, pattern="[一-鿿぀-ヿ]",
+                                         replacement="")
+    cjk = n_chars - pc.utf8_length(non_cjk).to_numpy(zero_copy_only=False)
+    is_zh = cjk / np.maximum(n_chars, 1) > 0.05
+
+    words = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
+    flat = np.asarray(pc.list_flatten(words).to_numpy(zero_copy_only=False),
+                      dtype=object)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n), lens)
+    nonempty = flat != "" if len(flat) else np.zeros(0, bool)
+    n_tokens = np.bincount(doc_idx[nonempty], minlength=n).astype(np.float64)
+
+    langs = list(_LANG_STOPWORDS)
+    scores = np.zeros((len(langs), n))
+    for li, lang in enumerate(langs):
+        hit = np.isin(flat, list(_LANG_STOPWORDS[lang])) if len(flat) else np.zeros(0, bool)
+        scores[li] = np.bincount(doc_idx[hit], minlength=n) / np.maximum(n_tokens, 1)
+    # dict order = scalar loop order; strict > keeps first-wins tie behavior
+    best = np.zeros(n, dtype=np.int64)
+    best_score = scores[0].copy()
+    for li in range(1, len(langs)):
+        better = scores[li] > best_score
+        best[better] = li
+        best_score[better] = scores[li][better]
+    out = np.array(langs, dtype=object)[best]
+    out[best_score <= 0.02] = "und"
+    out[n_tokens == 0] = "und"
+    out[is_zh] = "zh"
+    return out
+
+
 # --- fingerprinting ---------------------------------------------------------
 
 def content_fingerprint(texts: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:

@@ -725,11 +725,12 @@ def q_simhash_values(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    from ..functions.textstats import detect_language
+    from ..functions.textstats import detect_language_batch
 
     def fn(t: pa.Table) -> pa.Table:
-        langs = [detect_language(x) for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(langs)})
+        langs = detect_language_batch(t["text"])
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang_pred": pa.array(list(langs), pa.string())})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
@@ -1197,21 +1198,41 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000
 """
 
 
-def q_event_sessions(sf_dir: str, gap_minutes: int = 30):
+def q_event_sessions(sf_dir: str, gap_minutes: int = 30, num_partitions: int = 32):
     """Sessionization (streaming-shaped op, ray_guide): per-user sorted
     event log, a new session starts when the gap exceeds 30 min. Ray Data
-    has no event-time windows — the window is a sorted map_groups."""
-    def per_user(g):
-        import pandas as pd
+    has no event-time windows — the window is a groupby on a COARSE
+    partition key (user_id % P, the same pattern as the LSH/exact tiers:
+    P groups, not one Python call per user), with all users of a partition
+    processed in one numpy lexsort + diff pass."""
+    def per_partition(g):
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.ones(len(uid), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.zeros(len(uid), dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_minutes * 60_000_000
+        new_session = new_user | gap
+        users = uid[new_user]
+        run_id = np.cumsum(new_user) - 1
+        n_sessions = np.bincount(run_id[new_session], minlength=len(users))
+        n_events = np.bincount(run_id, minlength=len(users))
+        return pa.table({"user_id": pa.array(users, pa.int64()),
+                         "n_sessions": pa.array(n_sessions.astype(np.int64), pa.int64()),
+                         "n_events": pa.array(n_events.astype(np.int64), pa.int64())})
 
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [int(1 + gaps.sum())],
-                             "n_events": [len(g)]})
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    return _read(sf_dir, "events", ["user_id", "event_id", "ts"]) \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(u % num_partitions, pa.int64()))
+
+    return ev.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(per_partition, batch_format="pyarrow") \
+        .select_columns(["user_id", "n_sessions", "n_events"])
 
 
 SQL_EVENT_SESSIONS = """
@@ -1225,15 +1246,35 @@ FROM e GROUP BY user_id
 """
 
 
-def q_top2_orders_per_customer(sf_dir: str):
-    """Grouped top-k (window row_number analogue) via map_groups."""
-    def per_cust(g):
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(2)
-        return g[["o_custkey", "o_orderkey"]]
+def q_top2_orders_per_customer(sf_dir: str, num_partitions: int = 32):
+    """Grouped top-k (window row_number analogue) on a coarse partition key:
+    one numpy lexsort per partition ranks every customer's orders at once —
+    no per-customer Python (the fine-key map_groups pattern costs
+    ~0.4 ms/group; millions of customers would serialize)."""
+    def per_partition(g):
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -price, ck))
+        ck, ok = ck[order], ok[order]
+        new = np.ones(len(ck), dtype=bool)
+        new[1:] = ck[1:] != ck[:-1]
+        run_id = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        rank = np.arange(len(ck)) - starts[run_id]
+        keep = rank < 2
+        return pa.table({"o_custkey": pa.array(ck[keep], pa.int64()),
+                         "o_orderkey": pa.array(ok[keep], pa.int64())})
 
-    return _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]) \
-        .groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(c % num_partitions, pa.int64()))
+
+    return orders.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(per_partition, batch_format="pyarrow") \
+        .select_columns(["o_custkey", "o_orderkey"])
 
 
 SQL_TOP2_ORDERS_PER_CUSTOMER = """

@@ -85,3 +85,26 @@ def test_misspell_deterministic():
     assert misspell(t, 7) != misspell(t, 8) or True  # different seeds usually differ
     out = misspell(t, 7)
     assert 0 < len(out) <= len(t) + 4
+
+
+def test_detect_language_batch_parity():
+    """Vectorized batch lang-ID must make byte-identical decisions vs the
+    scalar oracle, including ties, empties, whitespace and CJK edges."""
+    import pyarrow as pa
+
+    from doppel_speller_ray.functions.textstats import (
+        detect_language, detect_language_batch)
+
+    texts = [
+        "the cat and the dog are in the house",
+        "der hund und die katze sind nicht im haus",
+        "le chat est dans la maison avec le chien",
+        "el perro y el gato en la casa por la noche",
+        "\u4f60\u597d\u4e16\u754c \u8fd9\u662f\u4e00\u4e2a\u6d4b\u8bd5 \u6587\u672c",
+        "", "   ", "xyzzy plugh 12345", "de la", "the der le el",
+        "  leading and trailing the  ", "a\tb\nthe cat", None,
+    ]
+    got = detect_language_batch(pa.array(texts, pa.string()))
+    want = [detect_language(t or "") for t in texts]
+    assert list(got) == want, (list(got), want)
+
