@@ -432,6 +432,34 @@ ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id LIMIT 10
 """
 
 
+def q_ann_ivf(sf_dir: str, k: int = 10):
+    """IVF (k-means inverted-file) ANN over the embeddings table with
+    nprobe = ALL centroids — provably identical to brute-force top-k, so it
+    shares the exact SQL oracle with ann_topk; the approximate small-nprobe
+    configuration (the 100 TB scale path: assignment = Parquet partition
+    key, probing prunes at the read) is recall-tested in
+    tests/test_training.py."""
+    import ray
+
+    from ..stages.embed import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q_row = [r for r in emb.take(5) if r["vec_id"] == 0]
+    if not q_row:
+        q_row = emb.filter(lambda r: r["vec_id"] == 0).take(1)
+    q = np.asarray(q_row[0]["embedding"], dtype=np.float64)
+
+    not_self = emb.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow")
+    top = ivf_topk(not_self, q[None, :], k=k, n_centroids=16, nprobe=None)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t["vec_id"],
+                         "sim": pc.round(t["sim"], 2)})
+
+    return top.map_batches(fin, batch_format="pyarrow")
+
+
 def q_embedding_neardup(sf_dir: str, threshold: float = 0.4):
     """Embedding-cosine near-dup pairs (brute force at this sf; the
     LSH-bucketed variant in pipelines/ann.py is the scale path)."""
@@ -853,6 +881,7 @@ QUERIES = {
     "lev_distance": q_lev_distance,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
     "lineitem_agg": q_lineitem_agg,
     "customer_orders": q_customer_orders,
@@ -880,6 +909,7 @@ ORACLES = {
     "lev_distance": SQL_LEV_DISTANCE,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_ivf": SQL_ANN_TOPK,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "customer_orders": SQL_CUSTOMER_ORDERS,

@@ -133,6 +133,39 @@ def test_containment_stop_fingerprint_drops_surface(ray_session):
     assert stats["partitions_reporting"] >= 1, stats
 
 
+def test_ivf_topk_exact_and_approximate(ray_session):
+    """nprobe=ALL must equal brute force exactly; small nprobe must keep
+    high recall at a fraction of the scored vectors."""
+    import ray.data as rd
+
+    from doppel_speller_ray.stages.embed import ann_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(0, 1, (400, 24)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(mat)]
+    q = mat[:3].astype(np.float64)
+
+    brute = ann_topk(rd.from_items(rows), q, k=10).take_all()
+    exact = ivf_topk(rd.from_items(rows), q, k=10, n_centroids=8,
+                     nprobe=None).take_all()
+
+    def by_query(res):
+        out = {}
+        for r in res:
+            out.setdefault(r["query_id"], []).append((round(r["sim"], 6), r["vec_id"]))
+        return {k: sorted(v, reverse=True) for k, v in out.items()}
+
+    assert by_query(brute) == by_query(exact)
+
+    approx = ivf_topk(rd.from_items(rows), q, k=10, n_centroids=8,
+                      nprobe=3).take_all()
+    ba, aa = by_query(brute), by_query(approx)
+    for qid in ba:
+        want = {v for _, v in ba[qid]}
+        got = {v for _, v in aa.get(qid, [])}
+        assert len(want & got) >= 6, (qid, want, got)   # recall ≥ 0.6 at nprobe 3/8
+
+
 def test_embedding_lsh_neardup(ray_session):
     import ray.data as rd
 
