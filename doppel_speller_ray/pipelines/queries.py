@@ -1368,6 +1368,55 @@ ORACLES.update({
 })
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-ish multi-join chain: lineitem ⋈ orders ⋈ customer (two
+    large hash joins) + nation broadcast lookup → grouped revenue. The
+    big-side joins shuffle; the 25-row nation table is a ray.put lookup."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": r})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = {r["n_nationkey"]: r["n_name"] for r in _read(sf_dir, "nation").take_all()}
+    ref = ray.put(nation)
+
+    joined = li.map_batches(rev, batch_format="pyarrow") \
+        .join(orders, join_type="inner", num_partitions=4,
+              on=("l_orderkey",), right_on=("o_orderkey",)) \
+        .join(cust, join_type="inner", num_partitions=4,
+              on=("o_custkey",), right_on=("c_custkey",))
+
+    def tag(t: pa.Table) -> pa.Table:
+        nat = ray.get(ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = [nat[int(k)] for k in nk]
+        return pa.table({"n_name": pa.array(names, pa.string()), "rev": t["rev"]})
+
+    agg = joined.map_batches(tag, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
+    return agg.map_batches(
+        lambda t: pa.table({"n_name": t["n_name"],
+                            "revenue": pc.round(t["revenue"], 2)}),
+        batch_format="pyarrow")
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 def q_event_type_counts(sf_dir: str):
     """Simple pivot-style grouped counts with mean value per event type."""
     from ray.data.aggregate import Count, Mean
@@ -1413,8 +1462,10 @@ FROM documents GROUP BY (n_chars // 50) * 50
 QUERIES.update({
     "event_type_counts": q_event_type_counts,
     "doc_length_histogram": q_doc_length_histogram,
+    "revenue_by_nation": q_revenue_by_nation,
 })
 ORACLES.update({
     "event_type_counts": SQL_EVENT_TYPE_COUNTS,
     "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
 })
