@@ -1,16 +1,23 @@
-"""Distributed connected components: hash-min label propagation on Datasets.
+"""Distributed connected components over pair Datasets.
 
 The scale path for union-find (SURVEY.md §2.5 A10) when the verified-pair
-set itself is too large for one driver heap. Classic iterative hash-min
-(cf. "BTS: Load-Balanced Distributed Union-Find", ICDE'24, and the
-Connected-Components-in-MapReduce literature): every node repeatedly adopts
-the minimum label in its neighbourhood *including its current label's
-label* (pointer jumping), which converges in O(log d) rounds instead of
-O(d) for diameter-d components (chained pairs from capped LSH buckets make
-diameters of tens plausible).
+set itself is too large for one driver heap. Implements the alternating
+**large-star / small-star** algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi,
+Vassilvitskii — "Connected Components in MapReduce and Beyond", SoCC'14):
 
-All steps are Dataset groupby-aggregates — no driver-side state beyond the
-per-round convergence scalar.
+* large-star(u): connect every neighbour v > u to m(u) = min(N(u) ∪ {u})
+* small-star(u): connect every neighbour v ≤ u (and u itself) to m(u)
+
+Alternating the two converges in O(log² n) rounds (O(log n) in practice —
+a handful here) to a forest of stars whose roots are the component minima,
+i.e. the same canonical labels as the driver union-find, so outputs are
+interchangeable.
+
+Every round is ONE coarse-partition groupby (node % P) with a pure-numpy
+star kernel inside — no Dataset joins (an earlier hash-min + pointer-jump
+formulation ran 2 joins + a groupby per round and was ~10× slower in local
+mode). Convergence is detected by an order-insensitive edge-set signature
+(count + XOR of pair hashes), one tiny aggregate per round.
 """
 
 from __future__ import annotations
@@ -19,71 +26,121 @@ import numpy as np
 import pyarrow as pa
 
 
-def _edges_both_directions(pairs_ds):
+def _star_kernel(group: pa.Table, *, large: bool) -> pa.Table:
+    """One star operation over a node-partition of the (u → neighbours)
+    exploded edge list. Vectorized: lexsort by node, segmented min, masked
+    emission, in-partition dedup."""
+    u = group["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(u) == 0:
+        z = np.empty(0, np.int64)
+        return pa.table({"left_id": pa.array(z, pa.int64()),
+                         "right_id": pa.array(z, pa.int64())})
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    new = np.ones(len(u), dtype=bool)
+    new[1:] = u[1:] != u[:-1]
+    run = np.cumsum(new) - 1
+    first = np.nonzero(new)[0]
+    m_per_u = np.minimum(v[first], u[first])    # v sorted per u → v[first] = min nbr
+    m = m_per_u[run]
+    if large:
+        mask = v > u
+        out_l, out_r = v[mask], m[mask]
+    else:
+        mask = v <= u
+        out_l, out_r = v[mask], m[mask]
+        # small-star also links u itself to m
+        keep_u = u[first] != m_per_u
+        out_l = np.concatenate([out_l, u[first][keep_u]])
+        out_r = np.concatenate([out_r, m_per_u[keep_u]])
+    keep = out_l != out_r
+    out_l, out_r = out_l[keep], out_r[keep]
+    # in-partition dedup (cross-partition duplicates ride one more round)
+    if len(out_l):
+        packed = np.unique(np.stack([out_l, out_r], axis=1), axis=0)
+        out_l, out_r = packed[:, 0], packed[:, 1]
+    return pa.table({"left_id": pa.array(out_l, pa.int64()),
+                     "right_id": pa.array(out_r, pa.int64())})
+
+
+def _star_round(edges_ds, P: int, large: bool):
     def explode(t: pa.Table) -> pa.Table:
-        left = t["left_id"].to_numpy(zero_copy_only=False)
-        right = t["right_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "node": pa.array(np.concatenate([left, right]), pa.int64()),
-            "nbr": pa.array(np.concatenate([right, left]), pa.int64()),
-        })
-    return pairs_ds.select_columns(["left_id", "right_id"]).map_batches(
-        explode, batch_format="pyarrow"
-    )
+        left = t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        right = t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([left, right])
+        v = np.concatenate([right, left])
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "part": pa.array(u % P, pa.int64())})
+
+    return edges_ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: _star_kernel(g, large=large), batch_format="pyarrow")
+
+
+def _edge_signature(edges_ds) -> tuple[int, int]:
+    """(count, xor-of-pair-hashes) — order-insensitive set signature."""
+    from ..functions.hashing import pair_hash
+
+    def sig(t: pa.Table) -> pa.Table:
+        l = t["left_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = t["right_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = pair_hash(l, r)
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table({"n": pa.array([len(l)], pa.int64()),
+                         "x": pa.array([int(x)], pa.uint64())})
+
+    parts = edges_ds.map_batches(sig, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    x = 0
+    for p in parts:
+        x ^= int(p["x"])
+    return n, x
 
 
 def connected_components_distributed(pairs_ds, max_iters: int = 25,
                                      num_partitions: int | None = None):
-    """pair Dataset (left_id,right_id) → Dataset (node:int64, label:int64).
+    """pair Dataset (left_id, right_id) → Dataset (node:int64, label:int64).
 
     Labels are min doc_id per component (same canonicalization as the
-    driver-side union-find, so outputs are interchangeable).
-    """
-    from ray.data.aggregate import Min
-
+    driver-side union-find, so outputs are interchangeable)."""
     from ..util import default_num_partitions
 
     if num_partitions is None:
         num_partitions = default_num_partitions()
+    P = num_partitions
 
-    edges = _edges_both_directions(pairs_ds).materialize()
+    edges = pairs_ds.select_columns(["left_id", "right_id"]).materialize()
+    prev_sig = None
+    for _ in range(max_iters):
+        edges = _star_round(edges, P, large=True).materialize()
+        edges = _star_round(edges, P, large=False).materialize()
+        sig = _edge_signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
 
-    # init: label(v) = min(v, min neighbour) — first hash-min round for free
-    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="label"))
+    # final star edges: (child, root). label(node) = min over its edges;
+    # roots appear only on the right side, so emit (root, root) too and
+    # take the per-node min.
+    from ray.data.aggregate import Min
+
+    def explode(t: pa.Table) -> pa.Table:
+        left = t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        right = t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([left, right])
+        lab = np.concatenate([right, right])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "label": pa.array(lab, pa.int64())})
+
+    labels = edges.map_batches(explode, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("label", alias_name="label"))
 
     def clip_self(t: pa.Table) -> pa.Table:
         node = t["node"].to_numpy(zero_copy_only=False)
         lab = t["label"].to_numpy(zero_copy_only=False)
-        return pa.table({"node": t["node"], "label": pa.array(np.minimum(node, lab), pa.int64())})
+        return pa.table({"node": t["node"],
+                         "label": pa.array(np.minimum(node, lab), pa.int64())})
 
-    labels = labels.map_batches(clip_self, batch_format="pyarrow").materialize()
-
-    prev_sum = None
-    for _ in range(max_iters):
-        # neighbour propagation: msg(dst) = label(src) over each edge
-        nbr_msgs = edges.join(
-            labels, join_type="inner", num_partitions=num_partitions,
-            on=("node",), right_on=("node",),
-        ).select_columns(["nbr", "label"]).map_batches(
-            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
-        )
-        # pointer jumping: node adopts its label's label
-        jump_msgs = labels.map_batches(
-            lambda t: pa.table({"node": t["label"], "jlabel": t["label"],
-                                "orig": t["node"]}),
-            batch_format="pyarrow",
-        )
-        jump = jump_msgs.select_columns(["node", "orig"]).join(
-            labels, join_type="inner", num_partitions=num_partitions,
-            on=("node",), right_on=("node",),
-        ).select_columns(["orig", "label"]).map_batches(
-            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
-        )
-        combined = labels.union(nbr_msgs).union(jump)
-        labels = combined.groupby("node").aggregate(Min("label", alias_name="label"))
-        labels = labels.map_batches(clip_self, batch_format="pyarrow").materialize()
-        cur_sum = labels.sum("label")
-        if prev_sum is not None and cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels
+    return labels.map_batches(clip_self, batch_format="pyarrow").materialize()

@@ -8,9 +8,9 @@ Two implementations behind one interface:
   ``iter_batches`` is the pragmatic default; the result is a compact
   doc_id → cluster_id dict that is broadcast (``ray.put``) back into a
   ``map_batches`` assignment over the full corpus.
-* ``connected_components_distributed`` (state/cc.py) — iterative hash-min
-  label propagation as Dataset groupbys, for pair sets too large for one
-  driver heap.
+* ``connected_components_distributed`` (state/cc.py) — alternating
+  large-star/small-star rounds (Kiveris et al., SoCC'14) as coarse-partition
+  Dataset groupbys, for pair sets too large for one driver heap.
 
 Cluster ids are canonicalized to the minimum doc_id in the component, making
 output deterministic regardless of pair order or partitioning.
