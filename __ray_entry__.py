@@ -44,10 +44,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for the SQL-expressible subset of queries().
-    Non-SQL-expressible ops (MinHash/LSH clustering, SimHash, language ID,
-    fingerprints, composite quality score, BPE token count) are rows-only
-    checked by the driver."""
+    """DuckDB-equivalent SQL for queries(). Hash/LSH-style operators are
+    oracled via planted structure (salted corpora, exact copies) whose
+    expected output is closed-form SQL; only seeded sampling (`sample_
+    fraction`) and the two heuristic scores (`lang_id`, `quality`) remain
+    rows-only checked by the driver."""
     from doppel_speller_ray.pipelines.queries import ORACLES
 
     return dict(ORACLES)

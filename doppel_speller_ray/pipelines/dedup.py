@@ -29,7 +29,7 @@ from ..stages.exact import exact_dedup, split_exact
 from ..stages.lsh import band_explode_batch, candidate_pairs
 from ..stages.prepare import prepare_batch, prepare_pages_batch
 from ..stages.verify import attach_payload, verify_batch
-from ..state.unionfind import assign_clusters, assign_clusters_join, clusters_from_pairs
+from ..state.unionfind import assign_clusters, assign_clusters_join
 
 
 _EMPTY_VERIFIED = pa.table({

@@ -76,3 +76,36 @@ def test_dedup_pipeline_resumes_from_checkpoints(ray_session, tmp_path):
     res2 = dedup_pipeline(rd.from_arrow(pages), cfg, id_col="url", text_col="text")
     c2 = sorted((r["doc_id"], r["cluster_id"]) for r in res2.clusters.take_all())
     assert c1 == c2
+
+
+def test_checkpoint_invalidated_by_changed_input(ray_session, tmp_path):
+    """Same checkpoint_dir + same config but a DIFFERENT input must NOT
+    replay the previous corpus's stage Parquet (the stale-resume bug the
+    input-identity fingerprint prevents — ADVICE r1). File-backed inputs
+    carry their source paths+sizes into the fingerprint."""
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.dedup import dedup_pipeline
+    from doppel_speller_ray.sources.fixtures import make_pages
+
+    pages_a, _ = make_pages(n_clusters=6, n_singletons=10, seed=5)
+    pages_b, _ = make_pages(n_clusters=3, n_singletons=25, seed=17)
+    in_a, in_b = tmp_path / "in_a", tmp_path / "in_b"
+    import pyarrow.parquet as pq
+
+    in_a.mkdir(); in_b.mkdir()
+    pq.write_table(pages_a, in_a / "part-0.parquet")
+    pq.write_table(pages_b, in_b / "part-0.parquet")
+    ckpt = tmp_path / "ckpt"
+    cfg = DedupConfig(max_chars=None, checkpoint_dir=str(ckpt))
+
+    res_a = dedup_pipeline(rd.read_parquet(str(in_a)), cfg,
+                           id_col="url", text_col="text")
+    rows_a = res_a.clusters.count()
+    # rerun on input B with the SAME checkpoint dir: must compute B fresh
+    res_b = dedup_pipeline(rd.read_parquet(str(in_b)), cfg,
+                           id_col="url", text_col="text")
+    rows_b = res_b.clusters.count()
+    assert rows_a == len(pages_a)
+    assert rows_b == len(pages_b)
+    assert rows_a != rows_b        # a stale replay would repeat A's count
