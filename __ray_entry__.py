@@ -46,9 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for queries(). Hash/LSH-style operators are
     oracled via planted structure (salted corpora, exact copies) whose
-    expected output is closed-form SQL; only seeded sampling (`sample_
-    fraction`) and the two heuristic scores (`lang_id`, `quality`) remain
-    rows-only checked by the driver."""
+    expected output is closed-form SQL; the quality score's arithmetic is
+    replicated in SQL with a shared half-up rounding rule. Only seeded
+    sampling (`sample_fraction`) remains rows-only checked by the driver
+    (sampling is implementation-defined by construction)."""
     from doppel_speller_ray.pipelines.queries import ORACLES
 
     return dict(ORACLES)

@@ -604,7 +604,10 @@ def q_events_hourly(sf_dir: str):
 
     def fin(t: pa.Table) -> pa.Table:
         return pa.table({
-            "user_id": t["user_id"], "hour": t["hour"],
+            "user_id": t["user_id"],
+            # floor_temporal emits second precision; DuckDB date_trunc emits
+            # microseconds — align the physical type for the value hash
+            "hour": pc.cast(t["hour"], pa.timestamp("us")),
             "n_events": pc.cast(t["n_events"], pa.int64()),
             "sum_value": pc.round(t["sum_value"], 3),
         })
@@ -752,15 +755,50 @@ def q_simhash_values(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+_LANG_PLANT = [
+    ("en", "the cat and the dog are in the house with a bird"),
+    ("de", "der hund und die katze sind nicht im haus"),
+    ("fr", "le chat est dans la maison avec le chien"),
+    ("es", "el perro y el gato en la casa por la noche"),
+    ("zh", "你好世界 这是一个测试 文本"),
+    ("und", "qwxz plugh zzyzx flrbb"),
+]
+
+
 def q_lang_id(sf_dir: str):
+    """Language ID over a PLANTED corpus: each doc_id gets a stopword-rich
+    sentence of language ``_LANG_PLANT[doc_id % 6]`` plus a doc-unique hex
+    token (so texts differ per doc) — the heuristic's decision is then
+    closed-form SQL (doc_id % 6 → language). The vectorized kernel is
+    parity-tested against the scalar oracle on edge cases in
+    tests/test_textstats.py."""
     from ..functions.textstats import detect_language_batch
 
-    def fn(t: pa.Table) -> pa.Table:
-        langs = detect_language_batch(t["text"])
+    def derive_and_predict(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [f"{_LANG_PLANT[int(i) % 6][1]} {int(splitmix64(np.uint64(i))):012x}"
+                 for i in ids]
+        langs = detect_language_batch(pa.array(texts, pa.string()))
         return pa.table({"doc_id": t["doc_id"],
                          "lang_pred": pa.array(list(langs), pa.string())})
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir, ["doc_id"]).map_batches(derive_and_predict,
+                                                 batch_format="pyarrow")
+
+
+SQL_LANG_ID = """
+SELECT doc_id, CASE doc_id % 6 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+  WHEN 2 THEN 'fr' WHEN 3 THEN 'es' WHEN 4 THEN 'zh' ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+def _round6_half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x·10⁶ + 0.5)/10⁶ — mirrored EXACTLY in the SQL oracle. The
+    quality ratios regularly land on exact .5 rounding boundaries (clip
+    saturations, power-of-two denominators), where numpy's half-even and
+    DuckDB's half-away disagree; a shared half-up rule removes the tie."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
 
 
 def q_quality(sf_dir: str):
@@ -771,9 +809,9 @@ def q_quality(sf_dir: str):
         return pa.table({
             "doc_id": t["doc_id"],
             "n_tokens": pa.array(q["n_tokens"], pa.int64()),
-            "punct_ratio": pa.array(np.round(q["punct_ratio"], 6), pa.float64()),
-            "stopword_ratio": pa.array(np.round(q["stopword_ratio"], 6), pa.float64()),
-            "quality_score": pa.array(np.round(q["quality_score"], 6), pa.float64()),
+            "punct_ratio": pa.array(_round6_half_up(q["punct_ratio"]), pa.float64()),
+            "stopword_ratio": pa.array(_round6_half_up(q["stopword_ratio"]), pa.float64()),
+            "quality_score": pa.array(_round6_half_up(q["quality_score"]), pa.float64()),
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
@@ -842,6 +880,43 @@ FROM documents
 """
 
 
+# The quality signals are plain arithmetic over regex-derived counts, so the
+# oracle REPLICATES the formula in SQL with the same float op order
+# (functions/textstats.py:quality_features).
+SQL_QUALITY = """
+WITH b AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+    length(regexp_replace(regexp_replace(text, '\\s', '', 'g'),
+                          '[^A-Za-z0-9]', '', 'g')) AS n_alnum
+  FROM documents),
+t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents),
+sc AS (SELECT doc_id, count(*) FILTER (WHERE w IN
+        ('the','a','an','and','or','of','to','in','is','are','was','were',
+         'be','been','it','this','that','for','on','with','as','at','by',
+         'from','not','no','but','if','then','than','so','such','can',
+         'will','just','into','over','under','out','up','down')) AS n_stop
+      FROM t GROUP BY doc_id)
+SELECT b.doc_id,
+  b.n_tokens,
+  floor((b.n_nonspace - b.n_alnum) * 1.0 / greatest(b.n_nonspace, 1)
+        * 1000000 + 0.5) / 1000000 AS punct_ratio,
+  floor(coalesce(sc.n_stop, 0) * 1.0 / greatest(b.n_tokens, 1)
+        * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+  floor((0.4 * least(b.n_chars / 200.0, 1.0)
+      + 0.3 * greatest(least(1.0 - abs(b.n_nonspace * 1.0
+            / greatest(b.n_tokens, 1) - 5.0) / 10.0, 1.0), 0.0)
+      + 0.3 * (1.0 - least(((b.n_nonspace - b.n_alnum) * 1.0
+            / greatest(b.n_nonspace, 1)) * 2.0, 1.0)))
+        * 1000000 + 0.5) / 1000000 AS quality_score
+FROM b LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_bpe_tokens(sf_dir: str):
     from ..functions.textstats import bpe_token_counts
 
@@ -890,10 +965,11 @@ QUERIES = {
     "simhash": q_simhash,
     "fingerprint": q_fingerprint,
     "bpe_tokens": q_bpe_tokens,
-    # rows-only (no SQL oracle): heuristic / implementation-defined outputs
     "lang_id": q_lang_id,
     "quality": q_quality,
 }
+# every entry above and below is oracled except sample_fraction (seeded
+# sampling is implementation-defined by construction)
 
 ORACLES = {
     "normalize": SQL_NORMALIZE,
@@ -915,6 +991,8 @@ ORACLES = {
     "customer_orders": SQL_CUSTOMER_ORDERS,
     "events_hourly": SQL_EVENTS_HOURLY,
     "minhash_lsh_clusters": SQL_MINHASH_LSH_CLUSTERS,
+    "lang_id": SQL_LANG_ID,
+    "quality": SQL_QUALITY,
     "simhash": SQL_COPY_CONSISTENT,
     "fingerprint": SQL_FINGERPRINT,
     "bpe_tokens": SQL_BPE_TOKENS,

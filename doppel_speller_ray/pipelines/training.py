@@ -80,8 +80,10 @@ def generate_training_pairs(truth_table: pa.Table, cfg: MatchConfig,
 
 
 def train_verifier(truth_ds, cfg: MatchConfig = MatchConfig(), *,
-                   eval_fraction: float = 0.2, model_path: str | None = None):
-    """End-to-end training: returns (model, metrics dict)."""
+                   eval_fraction: float = 0.2, model_path: str | None = None,
+                   model_params: dict | None = None):
+    """End-to-end training: returns (model, metrics dict). ``model_params``
+    override BoostedPairModel constructor defaults (e.g. n_rounds)."""
     truth_table = collect_truth_table(truth_ds, cfg)
     counter = build_word_counter(truth_table)
     n_truth = truth_table.num_rows
@@ -97,7 +99,8 @@ def train_verifier(truth_ds, cfg: MatchConfig = MatchConfig(), *,
     is_eval = rng.random(len(y)) < eval_fraction
     from ..stages.pair_model import BoostedPairModel
 
-    model = BoostedPairModel(beta=cfg.false_positive_penalty, seed=cfg.seed)
+    model = BoostedPairModel(beta=cfg.false_positive_penalty, seed=cfg.seed,
+                             **(model_params or {}))
     model.fit(X[~is_eval], y[~is_eval], eval_set=(X[is_eval], y[is_eval]))
 
     p_train = model.predict_proba(X[~is_eval])

@@ -36,8 +36,10 @@ def main() -> int:
     truth = _read_any(f"{EX}/example_truth.csv.gz", _TRUTH_MAPPING, "|")
 
     t0 = time.time()
+    n_rounds = int(os.environ.get("TRAIN_ROUNDS", "600"))
     model, metrics = train_verifier(
-        truth, cfg, model_path=os.path.join(art_dir, "pair_model_example.pickle"))
+        truth, cfg, model_path=os.path.join(art_dir, "pair_model_example.pickle"),
+        model_params={"n_rounds": n_rounds, "early_stopping_rounds": 60})
     train_s = time.time() - t0
 
     test = _read_any(f"{EX}/example_test.csv.gz", _TEST_MAPPING, "|")
