@@ -7,7 +7,7 @@ incorrectly not-found → custom error 63 + 5×114 = 633).
 
 Our numpy-GBDT verifier trades some recall for far fewer false positives;
 the asserted bounds pin that trade at a custom error ≤ the reference's 633
-(measured 531 at artifact-training time; see
+(measured 471 at artifact-training time; see
 artifacts/pair_model_example_metrics.json)."""
 
 import os
