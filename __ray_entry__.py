@@ -47,9 +47,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for queries(). Hash/LSH-style operators are
     oracled via planted structure (salted corpora, exact copies) whose
     expected output is closed-form SQL; the quality score's arithmetic is
-    replicated in SQL with a shared half-up rounding rule. Only seeded
-    sampling (`sample_fraction`) remains rows-only checked by the driver
-    (sampling is implementation-defined by construction)."""
+    replicated in SQL with a shared half-up rounding rule. Sampling is
+    deterministic-by-hash (fmix32 gate) so even `sample_fraction` is
+    oracled — every query has a SQL oracle."""
     from doppel_speller_ray.pipelines.queries import ORACLES
 
     return dict(ORACLES)

@@ -70,6 +70,60 @@ def pair_hash(left: np.ndarray, right: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# SQL-expressible deterministic sampling (murmur3 fmix32 over doc ids).
+#
+# Unlike RNG-based sampling (Dataset.random_sample), membership depends only
+# on (id, seed): stable under retries, repartitioning and resume — the
+# scale-correct pattern — and exactly reproducible in DuckDB SQL with
+# HUGEINT arithmetic, so the sampler itself is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_FM32_M1 = np.uint64(2246822507)   # 0x85EBCA6B (murmur3 fmix32)
+_FM32_M2 = np.uint64(3266489917)   # odd 32-bit multiplier (fmix32-style)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def fmix32(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Murmur3 fmix32 finalizer over (id ^ seed) mod 2**32 → uint64 < 2**32.
+
+    Kept to 32-bit lanes so every step is expressible in DuckDB BIGINT/
+    HUGEINT without wraparound (64×64-bit products overflow HUGEINT).
+    """
+    with np.errstate(over="ignore"):
+        h = np.asarray(ids, dtype=np.uint64)
+        h = (h ^ _U64(seed)) & _MASK32
+        h = h ^ (h >> _U64(16))
+        h = (h * _FM32_M1) & _MASK32
+        h = h ^ (h >> _U64(13))
+        h = (h * _FM32_M2) & _MASK32
+        h = h ^ (h >> _U64(16))
+    return h
+
+
+def hash_sample_mask(ids: np.ndarray, fraction: float, seed: int = 0) -> np.ndarray:
+    """Boolean keep-mask: keep iff fmix32(id ^ seed) < fraction * 2**32."""
+    threshold = _U64(int(fraction * 2**32))
+    return fmix32(ids, seed) < threshold
+
+
+def sql_hash_sample(table: str, id_col: str, fraction: float, seed: int = 0,
+                    select: str = "*") -> str:
+    """DuckDB SQL computing the exact same sample as hash_sample_mask."""
+    threshold = int(fraction * 2**32)
+    return f"""
+SELECT {select} FROM (
+  SELECT *, CAST(xor(h4, h4 >> 16) AS BIGINT) AS _h5 FROM (
+    SELECT *, CAST((CAST(h3 AS HUGEINT) * 3266489917) % 4294967296 AS BIGINT) AS h4 FROM (
+      SELECT *, xor(h2, h2 >> 13) AS h3 FROM (
+        SELECT *, CAST((CAST(h1 AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS h2 FROM (
+          SELECT *, xor(h0, h0 >> 16) AS h1 FROM (
+            SELECT *, xor({id_col}, {seed}) % 4294967296 AS h0 FROM {table}
+          ))))))
+WHERE _h5 < {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Vectorized string → uint64 polynomial hash (FNV-1a-style over a column).
 #
 # Computed position-by-position across the whole batch: the loop is over the

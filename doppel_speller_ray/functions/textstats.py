@@ -55,6 +55,14 @@ def quality_features(texts: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]
     n_chars, n_tokens, mean_token_len, punct_ratio (non-alnum-non-space chars
     / chars), digit_ratio, stopword_ratio (English stopword tokens / tokens),
     and a composite quality_score in [0,1].
+
+    Tokenization here uses RE2's ASCII ``\\s`` — deliberately the same
+    whitespace class as the DuckDB SQL oracle (trim / string_split_regex),
+    which is the conformance contract for this operator. On text containing
+    non-ASCII Unicode whitespace (NBSP, U+3000) token counts differ from
+    Python ``str.split()`` semantics; language ID, whose parity contract is
+    the scalar ``detect_language``, uses the full Python class instead
+    (``_PY_WS_CLASS``).
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -104,6 +112,17 @@ def quality_features(texts: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]
 
 # --- language ID ------------------------------------------------------------
 
+# Python str.split() whitespace class (every char where str.isspace() is
+# True), as an RE2 character class. Arrow's RE2 `\s` is ASCII-only, so a
+# batch kernel claiming byte-identical decisions vs a str.split()-based
+# scalar must split on this class instead (ADVICE r2: NBSP/U+3000 inputs
+# diverged). Verified exhaustively against str.isspace() in
+# tests/test_textstats.py.
+_PY_WS_CLASS = (
+    "[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+"
+)
+
 _LANG_STOPWORDS: dict[str, frozenset[str]] = {
     "en": _STOPWORDS_EN,
     "de": frozenset("der die das und ist nicht ein eine mit von zu im den dem des auf für".split()),
@@ -147,7 +166,7 @@ def detect_language_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     cjk = n_chars - pc.utf8_length(non_cjk).to_numpy(zero_copy_only=False)
     is_zh = cjk / np.maximum(n_chars, 1) > 0.05
 
-    words = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
+    words = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=_PY_WS_CLASS)
     flat = np.asarray(pc.list_flatten(words).to_numpy(zero_copy_only=False),
                       dtype=object)
     lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -631,6 +631,21 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 
 from ..functions.hashing import splitmix64  # noqa: E402  (vectorized uint64 mix)
 
+# Planted variants are keyed at base_id + k·_PLANTED_OFFSET; the matching SQL
+# oracles hardcode the same offset, so base ids must leave headroom.
+_PLANTED_OFFSET = 1_000_000
+
+
+def _planted_guard(ids) -> None:
+    """Fail loudly (not with silently-colliding oracles) if the input scale
+    factor has ids too large for the planted-id offset scheme (ADVICE r2)."""
+    arr = np.asarray(ids)
+    if len(arr) and int(arr.max()) >= _PLANTED_OFFSET:
+        raise ValueError(
+            f"planted-corpus oracles require base ids < {_PLANTED_OFFSET:,} "
+            f"(got max id {int(arr.max()):,}); regenerate with a larger "
+            "_PLANTED_OFFSET (and matching SQL) for this scale factor")
+
 
 def _salt(doc_id: int) -> str:
     """Unique 71-char hex salt (8 tokens × 8 chars) for a doc_id. Survives
@@ -655,6 +670,7 @@ def _planted_salted_docs(sf_dir: str):
 
     def derive(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
+        _planted_guard(ids)
         texts = t["text"].to_pylist()
         out_i, out_t = [], []
         for i, x in zip(ids, texts):
@@ -703,6 +719,7 @@ def _copy_consistency(sf_dir: str, value_fn):
     base = _docs(sf_dir, ["doc_id", "text"])
 
     def shift(t: pa.Table) -> pa.Table:
+        _planted_guard(t["doc_id"].to_numpy(zero_copy_only=False))
         return pa.table({"doc_id": pc.add(t["doc_id"], 1_000_000), "text": t["text"]})
 
     copies = _docs(sf_dir, ["doc_id", "text"]).map_batches(shift, batch_format="pyarrow")
@@ -968,8 +985,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality": q_quality,
 }
-# every entry above and below is oracled except sample_fraction (seeded
-# sampling is implementation-defined by construction)
+# every entry above and below is oracled (incl. sample_fraction, whose
+# hash-gated membership is exactly reproducible in DuckDB SQL)
 
 ORACLES = {
     "normalize": SQL_NORMALIZE,
@@ -1016,6 +1033,7 @@ def q_containment_pairs(sf_dir: str):
     the containment SCORE is winnow-window-dependent, hence ids only.)"""
     def derive(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        _planted_guard(ids)
         out_i, out_t = [], []
         for i in ids:
             h = splitmix64(np.uint64(i) * np.uint64(1_000_003)
@@ -1052,6 +1070,7 @@ def q_embedding_neardup_lsh(sf_dir: str):
 
         mat = batch_matrix(t).astype(np.float32)
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        _planted_guard(ids)
         allm = np.concatenate([mat, mat])
         all_ids = np.concatenate([ids, ids + 1_000_000])
         return pa.table({
@@ -1121,6 +1140,7 @@ def q_match_titles(sf_dir: str):
 
     def to_queries(t: pa.Table) -> pa.Table:
         ids = t["p_partkey"].to_pylist()
+        _planted_guard(ids)
         names = t["p_name"].to_pylist()
         out_ids, out_titles = [], []
         for i, n in zip(ids, names):
@@ -1426,9 +1446,19 @@ GROUP BY r.r_name
 
 
 def q_sample_fraction(sf_dir: str):
-    """O4 seeded sampling — rows-only (sampling is inherently
-    implementation-defined; determinism is what we verify in tests)."""
-    return _docs(sf_dir, ["doc_id"]).random_sample(0.2, seed=42)
+    """O4 deterministic-by-hash sampling (reference O4 is unseeded RNG —
+    `feature_engineering.py:276-296` — which we replace with hash-gated
+    membership: keep iff fmix32(doc_id ^ seed) < p·2^32). Unlike RNG
+    sampling this is stable under retries and repartitioning (membership
+    depends only on the row id) and exactly expressible in DuckDB SQL, so
+    the sampler itself is oracled."""
+    from ..functions.hashing import hash_sample_mask
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(hash_sample_mask(ids, 0.2, seed=42)))
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(fn, batch_format="pyarrow")
 
 
 QUERIES.update({
@@ -1438,11 +1468,18 @@ QUERIES.update({
     "customers_per_region": q_customers_per_region,
     "sample_fraction": q_sample_fraction,
 })
+def _sql_sample_fraction() -> str:
+    from ..functions.hashing import sql_hash_sample
+
+    return sql_hash_sample("documents", "doc_id", 0.2, seed=42, select="doc_id")
+
+
 ORACLES.update({
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "event_sessions": SQL_EVENT_SESSIONS,
     "top2_orders_per_customer": SQL_TOP2_ORDERS_PER_CUSTOMER,
     "customers_per_region": SQL_CUSTOMERS_PER_REGION,
+    "sample_fraction": _sql_sample_fraction(),
 })
 
 

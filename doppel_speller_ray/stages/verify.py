@@ -53,21 +53,6 @@ def attach_payload(pairs_ds, docs_ds, num_partitions: int = 16, with_text: bool 
     return out
 
 
-def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Vectorized concatenation of ``arange(s, s+l)`` runs (no Python loop)."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.empty(0, np.int64)
-    keep = lens > 0
-    starts, lens = starts[keep], lens[keep]
-    out = np.ones(total, dtype=np.int64)
-    out[0] = starts[0]
-    ends = np.cumsum(lens)[:-1]
-    # boundary delta: from (starts[i] + lens[i] − 1) to starts[i+1]
-    out[ends] = starts[1:] - (starts[:-1] + lens[:-1]) + 1
-    return np.cumsum(out)
-
-
 def batch_jaccard_flat(flat: np.ndarray, soff: np.ndarray,
                        lp: np.ndarray, rp: np.ndarray) -> np.ndarray:
     """Exact Jaccard for a batch of pairs over flat sorted-unique shingle

@@ -80,23 +80,27 @@ def _star_round(edges_ds, P: int, large: bool):
 
 
 def _edge_signature(edges_ds) -> tuple[int, int]:
-    """(count, xor-of-pair-hashes) — order-insensitive set signature."""
+    """(count, sum-of-pair-hashes mod 2**64) — order-insensitive multiset
+    signature. Sum (not XOR) so duplicate edges that survive across
+    partitions cannot pair-cancel into a colliding signature (ADVICE r2):
+    XOR of an even multiplicity vanishes, addition mod 2**64 does not."""
     from ..functions.hashing import pair_hash
 
     def sig(t: pa.Table) -> pa.Table:
         l = t["left_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         r = t["right_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = pair_hash(l, r)
-        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        with np.errstate(over="ignore"):
+            s = np.add.reduce(h) if len(h) else np.uint64(0)
         return pa.table({"n": pa.array([len(l)], pa.int64()),
-                         "x": pa.array([int(x)], pa.uint64())})
+                         "s": pa.array([int(s)], pa.uint64())})
 
     parts = edges_ds.map_batches(sig, batch_format="pyarrow").take_all()
     n = sum(p["n"] for p in parts)
-    x = 0
+    s = 0
     for p in parts:
-        x ^= int(p["x"])
-    return n, x
+        s = (s + int(p["s"])) & 0xFFFFFFFFFFFFFFFF
+    return n, s
 
 
 def connected_components_distributed(pairs_ds, max_iters: int = 25,

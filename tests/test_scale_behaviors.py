@@ -115,3 +115,29 @@ def test_distributed_cc_path_matches_driver_cc(ray_session):
                         use_distributed_cc=True)
     c2 = sorted((r["doc_id"], r["cluster_id"]) for r in r2.clusters.take_all())
     assert c1 == c2
+
+
+def test_hash_sample_stable_under_repartitioning(ray_session):
+    """O4: sample membership depends only on (id, seed) — identical result
+    sets regardless of block layout, and within ±3pp of the fraction."""
+    import numpy as np
+    import ray.data as rd
+
+    from doppel_speller_ray.functions.hashing import hash_sample_mask
+
+    ids = np.arange(20_000, dtype=np.int64)
+    mask = hash_sample_mask(ids, 0.25, seed=7)
+    assert abs(mask.mean() - 0.25) < 0.03
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = hash_sample_mask(t["id"].to_numpy(zero_copy_only=False), 0.25, seed=7)
+        return t.filter(pa.array(keep))
+
+    tbl = pa.table({"id": ids})
+    a = rd.from_arrow(tbl).repartition(3).map_batches(fn, batch_format="pyarrow")
+    b = rd.from_arrow(tbl).repartition(17).map_batches(
+        fn, batch_format="pyarrow", batch_size=256)
+    sa = sorted(r["id"] for r in a.take_all())
+    sb = sorted(r["id"] for r in b.take_all())
+    assert sa == sb
+    assert sa == sorted(ids[mask].tolist())

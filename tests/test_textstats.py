@@ -108,3 +108,38 @@ def test_detect_language_batch_parity():
     want = [detect_language(t or "") for t in texts]
     assert list(got) == want, (list(got), want)
 
+
+
+def test_py_ws_class_exhaustive():
+    """_PY_WS_CLASS must cover exactly the chars str.split() splits on
+    (str.isspace() == True) — the parity contract behind the batch lang-ID
+    (ADVICE r2: RE2 \\s is ASCII-only, NBSP/U+3000 diverged)."""
+    import re
+
+    from doppel_speller_ray.functions.textstats import _PY_WS_CLASS
+
+    pat = re.compile(_PY_WS_CLASS.replace("]+", "]"))
+    missing = [hex(c) for c in range(0x110000)
+               if chr(c).isspace() and not pat.fullmatch(chr(c))]
+    extra = [hex(c) for c in range(0x110000)
+             if pat.fullmatch(chr(c)) and not chr(c).isspace()]
+    assert not missing and not extra, (missing, extra)
+
+
+def test_detect_language_batch_unicode_whitespace_parity():
+    """NBSP / ideographic-space / unit-separator tokenization must match the
+    scalar (regression for the ASCII-\\s batch split)."""
+    import pyarrow as pa
+
+    from doppel_speller_ray.functions.textstats import (
+        detect_language, detect_language_batch)
+
+    texts = [
+        "the\xa0cat\xa0is\xa0on\xa0the\xa0mat",         # NBSP-separated en
+        "der　hund　ist　nicht　da",    # U+3000-separated de
+        "le\x1cchat\x1cest\x1cdans\x1cla\x1cmaison",    # unit separator
+        "\xa0　\x85", "word the of in",
+    ]
+    got = detect_language_batch(pa.array(texts, pa.string()))
+    want = [detect_language(t) for t in texts]
+    assert list(got) == want, (list(got), want)
