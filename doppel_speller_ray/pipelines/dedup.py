@@ -190,7 +190,9 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
     if use_distributed_cc:
         from ..state.cc import connected_components_distributed
 
-        labels = connected_components_distributed(all_pairs)
+        labels = connected_components_distributed(
+            all_pairs, checkpoint_dir=cfg.checkpoint_dir,
+            input_token=input_token)
         # labels STAY a Dataset: assignment is a left join over the corpus,
         # so no pair- or label-sized array ever lands on the driver
         clusters = assign_clusters_join(with_rep, labels)

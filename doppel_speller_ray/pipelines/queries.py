@@ -935,11 +935,11 @@ FROM b LEFT JOIN sc USING (doc_id)
 
 
 def q_bpe_tokens(sf_dir: str):
-    from ..functions.textstats import bpe_token_counts
+    from ..functions.textstats import bpe_token_counts_batch
 
     def fn(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"],
-                         "n_bpe_tokens": pa.array(bpe_token_counts(t["text"].to_pylist()),
+                         "n_bpe_tokens": pa.array(bpe_token_counts_batch(t["text"]),
                                                   pa.int64())})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")

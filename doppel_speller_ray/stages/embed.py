@@ -12,6 +12,45 @@ import numpy as np
 import pyarrow as pa
 
 
+def _final_topk_coarse(partials, k: int, id_col: str,
+                       num_partitions: int | None = None):
+    """Merge per-batch partial top-k rows into the global per-query top-k
+    with ONE coarse-partition groupby (part = query_id % P) and a fully
+    vectorized in-partition kernel — no per-query pandas groups (VERDICT r2
+    item 5: fine-key map_groups pays per-group Python at millions of
+    queries; this is the same coarse pattern as stages/lsh.py).
+
+    Deterministic tie-break: (sim DESC, id ASC) — matches the SQL oracle's
+    ORDER BY sim DESC, vec_id."""
+    from ..util import default_task_partitions
+
+    P = num_partitions or default_task_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(q % P, pa.int64()))
+
+    def topk_partition(group: pa.Table) -> pa.Table:
+        q = group["query_id"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        sims = group["sim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims, q))
+        q, ids, sims = q[order], ids[order], sims[order]
+        new = np.ones(len(q), dtype=bool)
+        new[1:] = q[1:] != q[:-1]
+        starts = np.nonzero(new)[0]
+        rank = np.arange(len(q)) - starts[np.cumsum(new) - 1]
+        keep = rank < k
+        return pa.table({
+            "query_id": pa.array(q[keep], pa.int64()),
+            id_col: pa.array(ids[keep], pa.int64()),
+            "sim": pa.array(sims[keep], pa.float64()),
+        })
+
+    return partials.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(topk_partition, batch_format="pyarrow")
+
+
 def batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     """(rows, dim) float64 matrix from a list<float> column, zero-copy-ish."""
     arr = batch[col]
@@ -63,12 +102,7 @@ def ann_topk(emb_ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id"):
         })
 
     partials = emb_ds.map_batches(score, batch_format="pyarrow")
-
-    def final_topk(group):
-        g = group.sort_values("sim", ascending=False).head(k)
-        return g
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _final_topk_coarse(partials, k, id_col)
 
 
 def kmeans_centroids(mat: np.ndarray, k: int, n_iters: int = 12,
@@ -141,13 +175,7 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, *, n_centroids: int = 16,
         })
 
     partials = emb_ds.map_batches(score, batch_format="pyarrow")
-
-    def final_topk(group):
-        # deterministic tie-break on id (matches ORDER BY sim DESC, vec_id)
-        return group.sort_values(["sim", id_col],
-                                 ascending=[False, True]).head(k)
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _final_topk_coarse(partials, k, id_col)
 
 
 def hyperplane_codes(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:

@@ -16,8 +16,10 @@ interchangeable.
 Every round is ONE coarse-partition groupby (node % P) with a pure-numpy
 star kernel inside — no Dataset joins (an earlier hash-min + pointer-jump
 formulation ran 2 joins + a groupby per round and was ~10× slower in local
-mode). Convergence is detected by an order-insensitive edge-set signature
-(count + XOR of pair hashes), one tiny aggregate per round.
+mode). Convergence is detected by an order-insensitive edge-multiset
+signature (count + sum of pair hashes mod 2**64), one tiny aggregate per
+round; the edge set checkpoints every k rounds when a checkpoint_dir is
+given so a failure resumes mid-loop instead of restarting it.
 """
 
 from __future__ import annotations
@@ -104,26 +106,49 @@ def _edge_signature(edges_ds) -> tuple[int, int]:
 
 
 def connected_components_distributed(pairs_ds, max_iters: int = 25,
-                                     num_partitions: int | None = None):
+                                     num_partitions: int | None = None,
+                                     checkpoint_dir: str | None = None,
+                                     checkpoint_every: int = 2,
+                                     input_token: str = ""):
     """pair Dataset (left_id, right_id) → Dataset (node:int64, label:int64).
 
     Labels are min doc_id per component (same canonicalization as the
-    driver-side union-find, so outputs are interchangeable)."""
+    driver-side union-find, so outputs are interchangeable).
+
+    With ``checkpoint_dir``, the contracted edge set is written through
+    state/checkpoint.py every ``checkpoint_every`` rounds (VERDICT r2 item
+    6: without this, a failure restarts the whole O(log n)-round loop). A
+    fresh call with the same (P, input_token) resumes from the latest round
+    checkpoint — correct because the star rounds preserve connectivity, so
+    converging from ANY intermediate edge set yields the same star forest,
+    at the cost of at most one extra signature round."""
     from ..util import default_num_partitions
 
     if num_partitions is None:
         num_partitions = default_num_partitions()
     P = num_partitions
 
-    edges = pairs_ds.select_columns(["left_id", "right_id"]).materialize()
+    ckpt_fp = None
+    if checkpoint_dir is not None:
+        from .checkpoint import (checkpoint_valid, config_fingerprint,
+                                 read_checkpoint, write_checkpoint)
+
+        ckpt_fp = config_fingerprint({"op": "cc_star", "P": P}, input_token)
+
+    if ckpt_fp is not None and checkpoint_valid(checkpoint_dir, "cc_edges", ckpt_fp):
+        edges = read_checkpoint(checkpoint_dir, "cc_edges").materialize()
+    else:
+        edges = pairs_ds.select_columns(["left_id", "right_id"]).materialize()
     prev_sig = None
-    for _ in range(max_iters):
+    for r in range(max_iters):
         edges = _star_round(edges, P, large=True).materialize()
         edges = _star_round(edges, P, large=False).materialize()
         sig = _edge_signature(edges)
         if sig == prev_sig:
             break
         prev_sig = sig
+        if ckpt_fp is not None and (r + 1) % checkpoint_every == 0:
+            edges = write_checkpoint(edges, checkpoint_dir, "cc_edges", ckpt_fp)
 
     # final star edges: (child, root). label(node) = min over its edges;
     # roots appear only on the right side, so emit (root, root) too and

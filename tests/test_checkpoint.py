@@ -109,3 +109,47 @@ def test_checkpoint_invalidated_by_changed_input(ray_session, tmp_path):
     assert rows_a == len(pages_a)
     assert rows_b == len(pages_b)
     assert rows_a != rows_b        # a stale replay would repeat A's count
+
+
+def test_distributed_cc_resumes_from_round_checkpoint(ray_session, tmp_path, monkeypatch):
+    """Kill the star loop mid-convergence (max_iters cap) with round
+    checkpointing on; a fresh call must resume from the checkpointed,
+    partially-contracted edge set (not the raw pairs) and still produce
+    labels identical to the driver union-find (VERDICT r2 item 6)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doppel_speller_ray.state import checkpoint as ckpt_mod
+    from doppel_speller_ray.state.cc import connected_components_distributed
+    from doppel_speller_ray.state.unionfind import cc_numpy
+
+    # chain graph: 0-1-2-...-399 plus a few separate triangles
+    n = 400
+    left = np.arange(n - 1, dtype=np.int64)
+    right = left + 1
+    tri = np.array([[1000, 1001], [1001, 1002], [2000, 2001]], np.int64)
+    left = np.concatenate([left, tri[:, 0]])
+    right = np.concatenate([right, tri[:, 1]])
+    pairs = rd.from_arrow(pa.table({"left_id": pa.array(left), "right_id": pa.array(right)}))
+
+    ckdir = str(tmp_path / "cc")
+    # run 1: dies after 2 rounds (checkpoint_every=1 → a round checkpoint exists)
+    connected_components_distributed(pairs, max_iters=2, num_partitions=4,
+                                     checkpoint_dir=ckdir, checkpoint_every=1)
+    manifest = ckpt_mod.read_manifest(ckdir, "cc_edges")
+    assert manifest["total_rows"] > 0
+
+    # run 2: must RESUME (read_checkpoint called) and complete
+    reads = []
+    orig = ckpt_mod.read_checkpoint
+    monkeypatch.setattr(ckpt_mod, "read_checkpoint",
+                        lambda *a, **k: reads.append(a) or orig(*a, **k))
+    labels = connected_components_distributed(pairs, num_partitions=4,
+                                              checkpoint_dir=ckdir,
+                                              checkpoint_every=1)
+    assert reads, "resume did not read the round checkpoint"
+    got = {r["node"]: r["label"] for r in labels.take_all()}
+    want_nodes, want_roots = cc_numpy(left, right)
+    want = dict(zip(want_nodes.tolist(), want_roots.tolist()))
+    assert got == want

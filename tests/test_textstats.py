@@ -143,3 +143,42 @@ def test_detect_language_batch_unicode_whitespace_parity():
     got = detect_language_batch(pa.array(texts, pa.string()))
     want = [detect_language(t) for t in texts]
     assert list(got) == want, (list(got), want)
+
+
+def test_bpe_batch_parity():
+    """The vectorized RE2 batch kernel must count identically to the scalar
+    on adversarial inputs (contractions, punct runs, NBSP, CJK, empties) —
+    and both use ASCII whitespace semantics, matching the SQL oracle."""
+    import pyarrow as pa
+
+    from doppel_speller_ray.functions.textstats import (
+        bpe_token_counts, bpe_token_counts_batch)
+
+    texts = [
+        "", "   ", "a  b", "a   b", "don't", "it'll we've they're I'd",
+        "!!!'s ok", "abc123def", "hello,   world!!  42x", "'", "''ll",
+        "a\tb\n\ncd", " x", "x ", "  'tis", "price: $5.99!", "a'b'c",
+        "\xa0nbsp\xa0sep", "多字节 text mix 123", "__init__ --flag=3",
+        "'s's's", "1'2", "O'Neill", None,
+    ]
+    got = bpe_token_counts_batch(pa.array(texts, pa.string()))
+    want = bpe_token_counts([t or "" for t in texts])
+    assert list(got) == list(want), list(zip(texts, got, want))
+
+
+def test_bpe_batch_parity_random():
+    """Property sweep: random mixes of the alphabet classes."""
+    import random
+
+    import pyarrow as pa
+
+    from doppel_speller_ray.functions.textstats import (
+        bpe_token_counts, bpe_token_counts_batch)
+
+    rng = random.Random(1234)
+    chars = "ab A1 9'.!-\t\n\xa0é中"
+    texts = ["".join(rng.choice(chars) for _ in range(rng.randrange(0, 40)))
+             for _ in range(500)]
+    got = bpe_token_counts_batch(pa.array(texts, pa.string()))
+    want = bpe_token_counts(texts)
+    assert list(got) == list(want)
