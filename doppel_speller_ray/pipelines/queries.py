@@ -1199,12 +1199,77 @@ def q_winnow(sf_dir: str):
     return _copy_consistency(sf_dir, _winnow_digest)
 
 
+def _substring_corpus(sf_dir: str):
+    """Per base doc i (unique 40-word hash vocabulary, as in
+    q_containment_pairs):
+
+    * +1_000_000 — the first 20 words: a TRUE substring (prefix) of the base
+    * +2_000_000 — the 40 words with every 10th replaced by a fresh unique
+      word: heavy fingerprint overlap (9-word shared runs ≫ w+k−1 chars)
+      but NOT a substring of anything — the planted negative the
+      certification tier must reject
+
+    Unique per-doc vocabulary ⇒ no cross-doc pairs; expected certified
+    output is exactly {(i, i+1e6)}: closed-form SQL."""
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        _planted_guard(ids)
+        out_i, out_t = [], []
+        for i in ids:
+            h = splitmix64(np.uint64(i) * np.uint64(1_000_003)
+                           + np.arange(40, dtype=np.uint64))
+            words = [f"{int(x):013x}"[:7] for x in h]
+            out_i.append(int(i))
+            out_t.append(" ".join(words))
+            out_i.append(int(i) + 1_000_000)
+            out_t.append(" ".join(words[:20]))
+            rep = splitmix64(np.uint64(i) * np.uint64(1_000_033)
+                             + np.uint64(77) + np.arange(4, dtype=np.uint64))
+            variant = list(words)
+            for j, x in zip((9, 19, 29, 39), rep):
+                variant[j] = f"{int(x):013x}"[:7]
+            out_i.append(int(i) + 2_000_000)
+            out_t.append(" ".join(variant))
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "norm_text": pa.array(out_t, pa.string())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(derive, batch_format="pyarrow")
+
+
+def q_substring_pairs(sf_dir: str):
+    """Substring-certified containment (the north_star's suffix/substring
+    stage, stages/containment.py:substring_containment_pairs): low-bar
+    winnowing candidates → text attach by hash join → exact substring
+    certification. On the planted corpus the certified set is exactly the
+    prefix pairs; the planted high-overlap NON-substring variants must be
+    generated as candidates and rejected (asserted in
+    tests/test_training.py::test_substring_certification_rejects_negatives)."""
+    from ..stages.containment import substring_containment_pairs
+
+    out = substring_containment_pairs(_substring_corpus(sf_dir))
+
+    def certified(t: pa.Table) -> pa.Table:
+        keep = t.filter(t["is_substring"])
+        return pa.table({"left_id": keep["left_id"],
+                         "right_id": keep["right_id"],
+                         "contained_id": keep["contained_id"]})
+
+    return out.map_batches(certified, batch_format="pyarrow")
+
+
+SQL_SUBSTRING_PAIRS = (
+    "SELECT doc_id AS left_id, doc_id + 1000000 AS right_id, "
+    "doc_id + 1000000 AS contained_id FROM documents"
+)
+
+
 QUERIES.update({
     "containment_pairs": q_containment_pairs,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "cc_labels": q_cc_labels,
     "match_titles": q_match_titles,
     "winnow": q_winnow,
+    "substring_pairs": q_substring_pairs,
 })
 
 ORACLES.update({
@@ -1213,6 +1278,7 @@ ORACLES.update({
     "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
     "match_titles": SQL_MATCH_TITLES,
     "winnow": SQL_COPY_CONSISTENT,
+    "substring_pairs": SQL_SUBSTRING_PAIRS,
 })
 
 

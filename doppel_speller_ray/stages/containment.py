@@ -175,3 +175,108 @@ def containment_pairs(docs_ds, *, min_containment: float = 0.7, k: int = 8,
 
     return shared.map_batches(add_pp, batch_format="pyarrow") \
         .groupby("ppart").map_groups(score_partition, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Substring verification tier (north_star's suffix-array substring stage)
+# ---------------------------------------------------------------------------
+
+_EMPTY_SUBSTR = pa.table({
+    "left_id": pa.array([], pa.int64()),
+    "right_id": pa.array([], pa.int64()),
+    "containment": pa.array([], pa.float64()),
+    "is_substring": pa.array([], pa.bool_()),
+    "contained_id": pa.array([], pa.int64()),
+})
+
+
+def substring_containment_pairs(docs_ds, *, min_candidate_containment: float = 0.35,
+                                k: int = 8, w: int = 16, seed: int = 42,
+                                max_df: int = 64, min_fps: int = 4,
+                                num_partitions: int | None = None,
+                                drop_counter=None):
+    """Containment with EXACT-substring certification (SURVEY.md §2.7 D6's
+    "later milestone"; the north_star names a suffix-array substring stage).
+
+    The winnowing-fingerprint score is a sampled estimate: a true substring
+    pair can score < 1 (window sampling) and a heavy-overlap non-substring
+    pair can score ≈ 1. This stage generates candidates at a LOW fingerprint
+    bar (``min_candidate_containment``, default 0.35 — any shared substring
+    of length ≥ w+k−1 already guarantees shared fingerprints), attaches the
+    two texts by hash join (strings join fine in acero; no list payload),
+    and certifies each pair with a direct substring search of the shorter
+    text in the longer.
+
+    The per-pair kernel is CPython's two-way (Crochemore–Perrin) ``str``
+    search — O(n+m) worst case, the same asymptotics a per-pair suffix
+    automaton would give without its construction constant; a shared suffix
+    ARRAY only pays when many queries probe one text, which the bucketed
+    candidate structure already avoids. Runs inside map_batches tasks, so
+    pairs verify in parallel across the pool.
+
+    Returns (left_id, right_id, containment, is_substring, contained_id)
+    where ``contained_id`` is the doc whose FULL text appears inside the
+    other (−1 when is_substring is false — such pairs are fingerprint-
+    overlap candidates that failed certification).
+    """
+    from ..util import default_num_partitions
+
+    from ..util import drop_empty_blocks
+
+    cand = containment_pairs(
+        docs_ds, min_containment=min_candidate_containment, k=k, w=w,
+        seed=seed, max_df=max_df, min_fps=min_fps,
+        num_partitions=num_partitions, drop_counter=drop_counter,
+    )
+    # schema-less empty blocks from empty groupby partitions break the
+    # downstream hash join — filter them by ref (see util.drop_empty_blocks)
+    cand = drop_empty_blocks(cand.materialize())
+    if cand.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(_EMPTY_SUBSTR)
+
+    join_parts = default_num_partitions()
+
+    def rename(side):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({f"{side}_id": t["doc_id"],
+                             f"{side}_text": t["norm_text"]})
+        return fn
+
+    payload = docs_ds.select_columns(["doc_id", "norm_text"])
+    att = cand.join(
+        payload.map_batches(rename("left"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=join_parts,
+        on=("left_id",), right_on=("left_id",))
+    att = att.join(
+        payload.map_batches(rename("right"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=join_parts,
+        on=("right_id",), right_on=("right_id",))
+
+    def certify(t: pa.Table) -> pa.Table:
+        lid = t["left_id"].to_numpy(zero_copy_only=False)
+        rid = t["right_id"].to_numpy(zero_copy_only=False)
+        lt = t["left_text"].to_pylist()
+        rt = t["right_text"].to_pylist()
+        is_sub = np.zeros(len(lid), dtype=bool)
+        contained = np.full(len(lid), -1, dtype=np.int64)
+        for i in range(len(lid)):
+            a, b = lt[i], rt[i]
+            if len(a) <= len(b):
+                short_txt, short_id = a, lid[i]
+                long_txt = b
+            else:
+                short_txt, short_id = b, rid[i]
+                long_txt = a
+            if short_txt and short_txt in long_txt:
+                is_sub[i] = True
+                contained[i] = short_id
+        return pa.table({
+            "left_id": t["left_id"], "right_id": t["right_id"],
+            "containment": t["containment"],
+            "is_substring": pa.array(is_sub),
+            "contained_id": pa.array(contained, pa.int64()),
+        })
+
+    return att.map_batches(certify, batch_format="pyarrow")

@@ -26,8 +26,14 @@ def attach_payload(pairs_ds, docs_ds, num_partitions: int = 16, with_text: bool 
 
     Shingle lists are packed into a binary column for the join (acero
     rejects list-typed payload) and decoded vectorized on the other side.
+    Schema-less empty pair blocks (from empty groupby partitions) are
+    dropped by ref first — a join hash partition fed only those fails with
+    "No match ... for key field" (see util.drop_empty_blocks).
     """
     from ..functions.shingles import lists_to_binary
+    from ..util import drop_empty_blocks
+
+    pairs_ds = drop_empty_blocks(pairs_ds)
 
     def rename(side):
         def fn(t: pa.Table) -> pa.Table:

@@ -43,3 +43,35 @@ def default_num_partitions(cap: int = 64) -> int:
     except Exception:
         cpus = 8
     return max(2, min(cap, cpus))
+
+
+def drop_empty_blocks(ds):
+    """Rebuild a Dataset from only its nonempty blocks.
+
+    Empty groupby/map_groups partitions emit SCHEMA-LESS empty blocks
+    (observed schema ``[]``); an acero hash join whose hash partition
+    receives only such blocks fails with "No match or multiple matches for
+    key field". map_batches cannot fix them — Ray passes empty blocks
+    through without invoking the UDF — so the blocks are filtered by ref:
+    one O(1) remote ``len()`` task per block, block payloads stay in the
+    object store, nothing corpus-sized touches the driver.
+
+    If EVERY block is empty the first ref is kept so downstream ``count()``
+    guards still see an (empty) dataset.
+    """
+    import ray
+    import ray.data as rd
+
+    refs = ds.to_arrow_refs()
+    if len(refs) <= 1:
+        return rd.from_arrow_refs(refs) if refs else ds
+
+    @ray.remote(num_cpus=0)
+    def _nonempty(t) -> bool:
+        return len(t) > 0
+
+    flags = ray.get([_nonempty.remote(r) for r in refs])
+    keep = [r for r, ne in zip(refs, flags) if ne]
+    if not keep:
+        keep = refs[:1]
+    return rd.from_arrow_refs(keep)

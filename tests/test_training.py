@@ -200,3 +200,46 @@ def test_ann_topk_stage(ray_session):
     assert len(out) == 5
     best = max(out, key=lambda r: r["sim"])
     assert best["vec_id"] == 7
+
+
+def test_substring_certification(ray_session):
+    """Exact-substring tier: certifies true containment (prefix, embedded
+    middle) and rejects a high-overlap NON-substring (one word changed)."""
+    import ray.data as rd
+
+    from doppel_speller_ray.stages.containment import substring_containment_pairs
+
+    words = [f"w{i:04d}x" for i in range(60)]
+    base = " ".join(words)
+    rows = [
+        {"doc_id": 1, "norm_text": base},
+        {"doc_id": 2, "norm_text": " ".join(words[:25])},           # prefix
+        {"doc_id": 3, "norm_text": " ".join(words[10:50])},  # embedded middle slice
+        {"doc_id": 4, "norm_text": " ".join(
+            w if i != 30 else "zzzzz" for i, w in enumerate(words))},  # negative
+    ]
+    out = substring_containment_pairs(rd.from_items(rows)).take_all()
+    by_pair = {(r["left_id"], r["right_id"]): r for r in out}
+    assert by_pair[(1, 2)]["is_substring"] and by_pair[(1, 2)]["contained_id"] == 2
+    assert by_pair[(1, 3)]["is_substring"] and by_pair[(1, 3)]["contained_id"] == 3
+    assert (1, 4) in by_pair, "high-overlap candidate must be generated"
+    assert not by_pair[(1, 4)]["is_substring"]
+    assert by_pair[(1, 4)]["contained_id"] == -1
+
+
+def test_substring_certification_rejects_negatives(ray_session):
+    """The planted-corpus oracle's negatives (+2M variants with 9-word
+    shared runs) must appear as candidates and fail certification."""
+    from doppel_speller_ray.pipelines.queries import _substring_corpus
+    from doppel_speller_ray.stages.containment import substring_containment_pairs
+
+    corpus = _substring_corpus("/root/testdata/sf0.001")
+    out = substring_containment_pairs(corpus).take_all()
+    neg = [r for r in out
+           if (r["left_id"] < 1_000_000 and r["right_id"] >= 2_000_000)
+           or (1_000_000 <= r["left_id"] < 2_000_000 and r["right_id"] >= 2_000_000)]
+    assert neg, "planted non-substring candidates were never generated"
+    assert all(not r["is_substring"] for r in neg)
+    pos = [r for r in out if r["is_substring"]]
+    assert {(r["left_id"], r["right_id"]) for r in pos} == \
+        {(r["left_id"], r["left_id"] + 1_000_000) for r in pos}
