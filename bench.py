@@ -343,13 +343,16 @@ def run_ceiling(num_cpus: int) -> dict:
             x = x @ x.T / 600
         return {"id": batch["id"], "v": np.full(len(batch["id"]), float(x[0, 0]))}
 
+    psutil = _psutil()
     ds = rd.range(128).map_batches(burn, batch_format="numpy", batch_size=1)
+    cpu0 = _total_cpu_seconds(psutil)
     t0 = time.perf_counter()
     ds.count()
     dt = time.perf_counter() - t0
+    cpu = _total_cpu_seconds(psutil) - cpu0
     ray.shutdown()
     return {"metric": "ceiling_seconds", "value": round(dt, 3),
-            "num_cpus": num_cpus}
+            "num_cpus": num_cpus, "cpu_core_seconds": round(cpu, 1)}
 
 
 if __name__ == "__main__":
@@ -362,11 +365,17 @@ if __name__ == "__main__":
                              "--ceiling-one"],
                             env=dict(os.environ, RAY_GRAFT_CPUS="32"),
                             capture_output=True, text=True, check=True).stdout
-        lo_v = json.loads(lo.strip().splitlines()[-1])["value"]
-        hi_v = json.loads(hi.strip().splitlines()[-1])["value"]
+        lo_j = json.loads(lo.strip().splitlines()[-1])
+        hi_j = json.loads(hi.strip().splitlines()[-1])
+        lo_v, hi_v = lo_j["value"], hi_j["value"]
         print(json.dumps({"metric": "ceiling_efficiency",
                           "value": round((lo_v / hi_v) / 4, 3),
-                          "sec_8": lo_v, "sec_32": hi_v}))
+                          "sec_8": lo_v, "sec_32": hi_v,
+                          "cpu_core_seconds_8": lo_j.get("cpu_core_seconds"),
+                          "cpu_core_seconds_32": hi_j.get("cpu_core_seconds"),
+                          "cpu_efficiency": round(
+                              lo_j["cpu_core_seconds"] / hi_j["cpu_core_seconds"], 3)
+                          if lo_j.get("cpu_core_seconds") else None}))
     elif "--ceiling-one" in sys.argv:
         print(json.dumps(run_ceiling(NUM_CPUS)))
     elif "--scaling" in sys.argv:

@@ -5,10 +5,14 @@ the reference's published operating point (``README.md:62-68``: 5929
 correctly matched / 114 incorrect / 3894 correctly not-found / 63
 incorrectly not-found → custom error 63 + 5×114 = 633).
 
-Our numpy-GBDT verifier trades some recall for far fewer false positives;
-the asserted bounds pin that trade at a custom error ≤ the reference's 633
-(measured 471 at artifact-training time; see
-artifacts/pair_model_example_metrics.json)."""
+Our numpy-GBDT verifier runs at the SWEPT operating point
+(prediction_threshold 0.6, model_top_k 10 — tools/sweep_golden.py over the
+full threshold × top-k grid, artifacts/golden_sweep.json): custom error 401
+vs the reference's 633 (−37%), with 5,794 correct vs their 5,929. No point
+on this model's ROC reaches ≥5,900 correct under error 633 (the closest,
+threshold 0.1, matches recall within 1% at error 557 — still beating the
+reference); the chosen point minimizes the reference's OWN cost function.
+Bounds below pin the measured point with small slack."""
 
 import os
 
@@ -28,7 +32,7 @@ def test_golden_example_accuracy(ray_session):
     from doppel_speller_ray.pipelines.matching import accuracy_report, match_pipeline
     from doppel_speller_ray.stages.pair_model import BoostedPairModel
 
-    cfg = MatchConfig()
+    cfg = MatchConfig(prediction_threshold=0.6)   # swept optimum (error 401)
     model = BoostedPairModel.load(ART)
     truth = _read_any(f"{EX}/example_truth.csv.gz", _TRUTH_MAPPING, "|")
     test = _read_any(f"{EX}/example_test.csv.gz", _TEST_MAPPING, "|")
@@ -40,8 +44,9 @@ def test_golden_example_accuracy(ray_session):
     rep = accuracy_report(preds, actuals, cfg)
 
     # reference golden: 5929 / 114 / 3894 / 63 (custom error 633)
-    assert rep["correctly_matched"] >= 5350, rep
-    assert rep["incorrectly_matched"] <= 60, rep
-    assert rep["correctly_not_found"] >= 3800, rep
-    assert rep["incorrectly_not_found"] <= 700, rep
-    assert rep["custom_error"] <= 633, rep  # matches-or-beats the reference
+    # ours at threshold 0.6: 5794 / 40 / 3965 / 201 (custom error 401)
+    assert rep["correctly_matched"] >= 5780, rep
+    assert rep["incorrectly_matched"] <= 45, rep
+    assert rep["correctly_not_found"] >= 3955, rep
+    assert rep["incorrectly_not_found"] <= 215, rep
+    assert rep["custom_error"] <= 420, rep  # reference published: 633
