@@ -235,11 +235,18 @@ def run_scaling() -> dict:
     replicate = int(os.environ.get("GRAFT_SCALE_REPLICATE", "40"))
     input_dir = _scaled_input_dir(SF_DIR, replicate)
     n_pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "5"))
+    # both legs run the SAME physical plan: partition count is pinned (as
+    # it would be on a real cluster, where partitions are data-sized) —
+    # otherwise the 32-CPU leg runs 128 task partitions vs the 8-CPU leg's
+    # 32 and the comparison confounds plan shape with parallelism
+    part_env = {"GRAFT_TASK_PARTITIONS":
+                os.environ.get("GRAFT_TASK_PARTITIONS", "128")}
 
     trials = []
     for i in range(n_pairs):
         order = (8, 32) if i % 2 == 0 else (32, 8)
-        legs = {ncpu: _dedup_subprocess(input_dir, ncpu) for ncpu in order}
+        legs = {ncpu: _dedup_subprocess(input_dir, ncpu, part_env)
+                for ncpu in order}
         lo, hi = legs[8], legs[32]
         trials.append({
             "sec_8": lo["value"], "sec_32": hi["value"],

@@ -128,3 +128,40 @@ def gated_ratio(a: str, b: str, threshold: int = 94) -> int:
 @lru_cache(maxsize=65536)
 def _cached_ratio(a: str, b: str) -> int:
     return lev_ratio(a, b)
+
+
+# --- optional C fast path -------------------------------------------------
+# rapidfuzz is absent from this container (verified); when present, the
+# bindings below transparently upgrade the hot kernels while the pure-Python
+# implementations remain exported as ``*_py`` so the skipif-gated parity test
+# in tests/test_lev.py can assert identical outputs. ``token_sort_ratio``,
+# ``gated_ratio`` and ``_cached_ratio`` resolve ``lev_ratio`` through the
+# module global at call time, so they pick up the fast path automatically.
+lev_ratio_py = lev_ratio
+lev_ratio_float_py = lev_ratio_float
+lev_distance_py = lev_distance
+
+try:
+    from rapidfuzz.distance import Indel as _Indel
+    from rapidfuzz.distance import Levenshtein as _Lev
+
+    HAVE_RAPIDFUZZ = True
+
+    def lev_ratio(a: str, b: str) -> int:  # noqa: F811
+        """round(100 × Levenshtein.ratio): Indel distance = lensum − 2·LCS."""
+        lensum = len(a) + len(b)
+        if lensum == 0:
+            return 100
+        return int(round(100 * (lensum - _Indel.distance(a, b)) / lensum))
+
+    def lev_ratio_float(a: str, b: str) -> float:  # noqa: F811
+        lensum = len(a) + len(b)
+        if lensum == 0:
+            return 1.0
+        return (lensum - _Indel.distance(a, b)) / lensum
+
+    def lev_distance(a: str, b: str) -> int:  # noqa: F811
+        return _Lev.distance(a, b)
+
+except ImportError:
+    HAVE_RAPIDFUZZ = False

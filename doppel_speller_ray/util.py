@@ -11,7 +11,18 @@ def default_task_partitions(mult: int = 4, cap: int = 128) -> int:
     P == CPUs one heavy partition (e.g. a Levenshtein-dense pair range)
     becomes a straggler that sets the stage wall time (observed +8 s at
     P=32); with 4× oversubscription the scheduler back-fills.
+
+    ``GRAFT_TASK_PARTITIONS`` overrides: at real scale partition count is
+    DATA-sized (bytes / target block size), not CPU-sized, and a scaling
+    measurement comparing two cluster widths must run the same physical
+    plan on both — the CPU-derived default would confound it (128
+    partitions at 32 CPUs vs 32 at 8).
     """
+    import os
+
+    env = os.environ.get("GRAFT_TASK_PARTITIONS")
+    if env:
+        return int(env)
     try:
         import ray
 
@@ -31,8 +42,21 @@ def default_num_partitions(cap: int = 64) -> int:
     more partitions than CPUs on a small cluster can starve the rest of the
     DAG into a backpressure deadlock (observed at num_cpus=4 with
     num_partitions=16). At scale, callers pass an explicit count sized to
-    the data instead (e.g. total_bytes / 512MB).
+    the data instead (e.g. total_bytes / 512MB). ``GRAFT_JOIN_PARTITIONS``
+    overrides (clamped to the CPU count to avoid the deadlock above).
     """
+    import os
+
+    env = os.environ.get("GRAFT_JOIN_PARTITIONS")
+    if env:
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8)) \
+                if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        return max(2, min(int(env), cpus))
     try:
         import ray
 

@@ -86,3 +86,34 @@ def test_gated_chain():
     a, b = "aaaaa bbbbb ccccc", "ccccc bbbbb aaaaa"
     assert lev_ratio(a, b) <= 94
     assert gated_ratio(a, b) == 100
+
+
+def test_fast_path_binding_consistent():
+    """When rapidfuzz is absent (this container), the public names ARE the
+    pure-Python kernels; when present, the *_py aliases keep the originals."""
+    from doppel_speller_ray.functions import lev
+
+    if lev.HAVE_RAPIDFUZZ:
+        assert lev.lev_ratio is not lev.lev_ratio_py
+    else:
+        assert lev.lev_ratio is lev.lev_ratio_py
+        assert lev.lev_distance is lev.lev_distance_py
+        assert lev.lev_ratio_float is lev.lev_ratio_float_py
+
+
+@pytest.mark.skipif(
+    not __import__("doppel_speller_ray.functions.lev",
+                   fromlist=["HAVE_RAPIDFUZZ"]).HAVE_RAPIDFUZZ,
+    reason="rapidfuzz not installed")
+def test_rapidfuzz_parity():
+    """C fast path must be output-identical to the pure-Python kernels."""
+    from doppel_speller_ray.functions import lev
+
+    rng = random.Random(11)
+    alphabet = "abcdef "
+    for _ in range(300):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 25)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 25)))
+        assert lev.lev_ratio(a, b) == lev.lev_ratio_py(a, b)
+        assert lev.lev_distance(a, b) == lev.lev_distance_py(a, b)
+        assert abs(lev.lev_ratio_float(a, b) - lev.lev_ratio_float_py(a, b)) < 1e-12
