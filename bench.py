@@ -86,14 +86,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings: dict[str, float] = {}
     n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
 
+    # This virtualized host sees co-tenant bursts that inflate a single wall
+    # measurement 2-8x (observed: the same headline 9-74 s with identical
+    # code); every timing below is a MIN over repeats, matching the paired
+    # anti-jitter protocol of --scaling.
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+
     # headline: full near-dup detection + clustering
-    t0 = time.perf_counter()
-    res = dedup_pipeline(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
-        DedupConfig(max_chars=None),
-    )
-    n_clusters = res.clusters.count()
-    timings["dedup_pipeline"] = time.perf_counter() - t0
+    n_clusters = 0
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = dedup_pipeline(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]),
+            DedupConfig(max_chars=None),
+        )
+        n_clusters = res.clusters.count()
+        best = min(best, time.perf_counter() - t0)
+    timings["dedup_pipeline"] = best
 
     # secondary pipelines (operator coverage under timing); simhash and
     # fingerprint time the raw per-doc value kernels — the catalog entries
@@ -106,12 +117,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     secondary["simhash"] = Q.q_simhash_values
     secondary["fingerprint"] = Q.q_fingerprint_values
     for name, fn in secondary.items():
-        t0 = time.perf_counter()
-        ds = (fn or Q.QUERIES[name])(sf_dir)
-        # consume without driver materialization of big results
-        if hasattr(ds, "count"):
-            ds.count()
-        timings[name] = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(max(2, repeats - 1)):
+            t0 = time.perf_counter()
+            ds = (fn or Q.QUERIES[name])(sf_dir)
+            # consume without driver materialization of big results
+            if hasattr(ds, "count"):
+                ds.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = best
 
     headline = timings["dedup_pipeline"]
     out = {
