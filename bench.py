@@ -344,6 +344,76 @@ def run_scale_path() -> dict:
     }
 
 
+def run_recall() -> dict:
+    """Dup-pair recall/precision at bench scale (the other half of the
+    north-rule metric: 'throughput + dup-pair recall >= 0.99').
+
+    Truth: the replicated corpus from :func:`_scaled_input_dir` — every
+    ``replicate`` consecutive ids (``doc_id // replicate`` constant) are
+    seeded-misspelling variants of one original, so all within-group pairs
+    are true near-dups. Recall = fraction of those pairs the pipeline puts
+    in one cluster. Precision is computed against the SAME group truth and
+    is therefore a lower bound: two different originals that are genuinely
+    similar in the base corpus count as false positives here.
+
+    All pair counting is distributed (groupby-aggregate over the cluster
+    table; Σ c·(c−1)/2 per group) — nothing corpus-sized on the driver, so
+    the same code path measures a 10^12-row cluster table.
+    """
+    import ray
+    import ray.data as rd
+
+    replicate = int(os.environ.get("GRAFT_SCALE_REPLICATE", "40"))
+    input_dir = _scaled_input_dir(SF_DIR, replicate)
+    out_dir = "/tmp/graft_recall_clusters"
+    run = _dedup_subprocess(input_dir, NUM_CPUS,
+                            {"GRAFT_CLUSTERS_OUT": out_dir})
+
+    _init_ray(NUM_CPUS)
+
+    def pair_sum(ds, keys) -> int:
+        """Σ over groups of count·(count−1)/2, via groupby().count() then a
+        vectorized per-batch partial sum."""
+        import pyarrow as pa
+
+        counts = ds.groupby(keys).count()
+
+        def partial(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            c = t["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"pairs": pa.array([int((c * (c - 1) // 2).sum())],
+                                               pa.int64())})
+
+        parts = counts.map_batches(partial, batch_format="pyarrow")
+        return int(sum(r["pairs"] for r in parts.take_all()))
+
+    def with_orig(t):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("orig_id",
+                               pa.array(ids // replicate, pa.int64()))
+
+    clusters = rd.read_parquet(out_dir, columns=["doc_id", "cluster_id"]) \
+        .map_batches(with_orig, batch_format="pyarrow")
+    hit = pair_sum(clusters, ["orig_id", "cluster_id"])
+    truth = pair_sum(clusters, ["orig_id"])
+    predicted = pair_sum(clusters, ["cluster_id"])
+    ray.shutdown()
+    recall = hit / truth if truth else 1.0
+    precision = hit / predicted if predicted else 1.0
+    return {
+        "metric": "dup_pair_recall", "value": round(recall, 5),
+        "unit": "ratio", "precision_lower_bound": round(precision, 5),
+        "truth_pairs": truth, "hit_pairs": hit, "predicted_pairs": predicted,
+        "n_docs": run["n_docs"], "dedup_seconds": run["value"],
+        "docs_per_sec": run["docs_per_sec"], "num_cpus": NUM_CPUS,
+        "sf": SF_DIR, "replicate": replicate,
+    }
+
+
 def run_ceiling(num_cpus: int) -> dict:
     """Control experiment: embarrassingly parallel, zero-shuffle numpy work.
 
@@ -403,6 +473,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--scale-path" in sys.argv:
         print(json.dumps(run_scale_path()))
+    elif "--recall" in sys.argv:
+        print(json.dumps(run_recall()))
     elif "--dedup-only" in sys.argv:
         print(json.dumps(run_dedup_only(
             os.environ.get("GRAFT_DEDUP_INPUT", SF_DIR), NUM_CPUS)))
