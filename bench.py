@@ -370,47 +370,59 @@ def run_recall() -> dict:
                             {"GRAFT_CLUSTERS_OUT": out_dir})
 
     _init_ray(NUM_CPUS)
+    clusters = rd.read_parquet(out_dir, columns=["doc_id", "cluster_id"])
+    stats = dup_pair_stats(clusters, replicate)
+    ray.shutdown()
+    return {
+        "metric": "dup_pair_recall", "value": stats["recall"],
+        "unit": "ratio",
+        "precision_lower_bound": stats["precision_lower_bound"],
+        "truth_pairs": stats["truth_pairs"], "hit_pairs": stats["hit_pairs"],
+        "predicted_pairs": stats["predicted_pairs"],
+        "n_docs": run["n_docs"], "dedup_seconds": run["value"],
+        "docs_per_sec": run["docs_per_sec"], "num_cpus": NUM_CPUS,
+        "sf": SF_DIR, "replicate": replicate,
+    }
 
-    def pair_sum(ds, keys) -> int:
-        """Σ over groups of count·(count−1)/2, via groupby().count() then a
-        vectorized per-batch partial sum."""
-        import pyarrow as pa
 
-        counts = ds.groupby(keys).count()
+def _pair_sum(ds, keys) -> int:
+    """Σ over groups of count·(count−1)/2, via groupby().count() then a
+    vectorized per-batch partial sum."""
+    import pyarrow as pa
 
-        def partial(t: pa.Table) -> pa.Table:
-            import numpy as np
+    counts = ds.groupby(keys).count()
 
-            c = t["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({"pairs": pa.array([int((c * (c - 1) // 2).sum())],
-                                               pa.int64())})
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
 
-        parts = counts.map_batches(partial, batch_format="pyarrow")
-        return int(sum(r["pairs"] for r in parts.take_all()))
+        c = t["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pairs": pa.array([int((c * (c - 1) // 2).sum())],
+                                           pa.int64())})
+
+    parts = counts.map_batches(partial, batch_format="pyarrow")
+    return int(sum(r["pairs"] for r in parts.take_all()))
+
+
+def dup_pair_stats(clusters_ds, replicate: int) -> dict:
+    """Recall/precision of a (doc_id, cluster_id) Dataset against the
+    replicated-corpus truth (``doc_id // replicate`` = original group).
+    Fully distributed: three groupby-aggregates, O(1) driver state."""
 
     def with_orig(t):
-        import numpy as np
         import pyarrow as pa
 
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return t.append_column("orig_id",
                                pa.array(ids // replicate, pa.int64()))
 
-    clusters = rd.read_parquet(out_dir, columns=["doc_id", "cluster_id"]) \
-        .map_batches(with_orig, batch_format="pyarrow")
-    hit = pair_sum(clusters, ["orig_id", "cluster_id"])
-    truth = pair_sum(clusters, ["orig_id"])
-    predicted = pair_sum(clusters, ["cluster_id"])
-    ray.shutdown()
-    recall = hit / truth if truth else 1.0
-    precision = hit / predicted if predicted else 1.0
+    ds = clusters_ds.map_batches(with_orig, batch_format="pyarrow")
+    hit = _pair_sum(ds, ["orig_id", "cluster_id"])
+    truth = _pair_sum(ds, ["orig_id"])
+    predicted = _pair_sum(ds, ["cluster_id"])
     return {
-        "metric": "dup_pair_recall", "value": round(recall, 5),
-        "unit": "ratio", "precision_lower_bound": round(precision, 5),
+        "recall": round(hit / truth, 5) if truth else 1.0,
+        "precision_lower_bound": round(hit / predicted, 5) if predicted else 1.0,
         "truth_pairs": truth, "hit_pairs": hit, "predicted_pairs": predicted,
-        "n_docs": run["n_docs"], "dedup_seconds": run["value"],
-        "docs_per_sec": run["docs_per_sec"], "num_cpus": NUM_CPUS,
-        "sf": SF_DIR, "replicate": replicate,
     }
 
 
