@@ -219,3 +219,40 @@ def true_dup_pairs(truth: pa.Table, include_containment: bool = False) -> set[tu
             for j in range(i + 1, len(members)):
                 pairs.add((members[i], members[j]))
     return pairs
+
+
+def make_media(n: int = 12, seed: int = 11,
+               size_range: tuple[int, int] = (8, 24),
+               audio_len: int = 2048) -> tuple[pa.Table, dict]:
+    """Deterministic media fixture with REAL encoded payloads.
+
+    Rows cycle through bmp / ppm / wav; image pixels and audio samples are
+    seeded numpy arrays encoded with `functions/codecs.py`, so decode stages
+    can be round-trip-tested against exact ground truth. Returns
+    (media table: media_id,kind,payload, truth: media_id → source array).
+    """
+    from ..functions import codecs
+
+    rng = np.random.default_rng(seed)
+    kinds, payloads, truth = [], [], {}
+    for i in range(n):
+        kind = ("bmp", "ppm", "wav")[i % 3]
+        if kind == "wav":
+            samples = rng.integers(-20000, 20000, size=audio_len,
+                                   dtype=np.int64).astype(np.int16)
+            payloads.append(codecs.encode_wav_pcm16(samples, 16000))
+            truth[i] = samples
+        else:
+            h = int(rng.integers(*size_range))
+            w = int(rng.integers(*size_range))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+            enc = codecs.encode_bmp if kind == "bmp" else codecs.encode_ppm
+            payloads.append(enc(img))
+            truth[i] = img
+        kinds.append(kind)
+    table = pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    return table, truth

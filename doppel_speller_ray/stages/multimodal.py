@@ -1,14 +1,21 @@
-"""Multimodal (image/audio/video) operators — real Ray plumbing, stubbed
-codecs.
+"""Multimodal (image/audio/video) operators — actor-pool decode stages with
+REAL built-in codecs for uncompressed formats.
 
 Media ride as opaque ``binary`` columns with typed metadata (SURVEY.md
 "multimodal columns"). Decode / feature-extract / resize / frame-sample are
 actor-pool ``map_batches`` stages: codec state initialized once per actor in
-``__init__``. The actual image/audio libraries are NOT in this container, so
-``DECODERS_AVAILABLE`` gates them: with libraries absent the stages either
-raise ``NotImplementedError`` (strict mode) or produce a deterministic fake
-decode (hash-seeded pseudo-pixels with the declared shape) so the schema,
-batch sizing, actor signatures and output layout are real and tested.
+``__init__``. Coverage is tiered:
+
+- **Built-in, always available** (`functions/codecs.py`, pure numpy /
+  stdlib): BMP (24-bit uncompressed) and PPM (P6) images, RIFF/WAVE PCM-16
+  audio — decoded for real, exact round-trip tested, then resized with a
+  deterministic nearest-neighbour kernel.
+- **PIL extension** (guarded import, absent in this container): extends
+  image coverage to JPEG/PNG. ``PIL_AVAILABLE`` gates it.
+- **Unrecognised payloads**: with ``strict=True`` the stage raises; with
+  ``strict=False`` (default) it emits a deterministic hash-seeded stub
+  decode with the declared shape and records ``codec="stub"`` so fallbacks
+  are observable, never silent.
 
 Batch-size note (scale design): binary payloads are large — callers should
 pass a small ``batch_size`` (e.g. 16–64) and let ``DataContext.
@@ -21,14 +28,19 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions import codecs
 from ..functions.hashing import hash_bytes_rows, splitmix64
 
-try:  # pragma: no cover - not present in this container
+try:  # pragma: no cover - PIL not present in this container
     from PIL import Image  # noqa: F401
 
-    DECODERS_AVAILABLE = True
+    PIL_AVAILABLE = True
 except ImportError:
-    DECODERS_AVAILABLE = False
+    PIL_AVAILABLE = False
+
+# Back-compat alias: built-in codecs mean decoders are always available;
+# PIL only widens the format set.
+DECODERS_AVAILABLE = True
 
 
 def _binary_rows(col) -> list[bytes]:
@@ -48,12 +60,30 @@ def _fake_pixels(payload: bytes, h: int, w: int, c: int, seed: int) -> np.ndarra
     return (vals & np.uint64(0xFF)).astype(np.uint8).reshape(h, w, c)
 
 
+def decode_image_payload(payload: bytes) -> tuple[np.ndarray, str] | None:
+    """Decode one image payload with the built-in codecs (PIL if present).
+    Returns (H×W×3 uint8 RGB, codec name), or None if undecodable."""
+    fmt = codecs.sniff(payload or b"")
+    if fmt == "bmp":
+        return codecs.decode_bmp(payload), fmt
+    if fmt == "ppm":
+        return codecs.decode_ppm(payload), fmt
+    if fmt in ("jpeg", "png") and PIL_AVAILABLE:  # pragma: no cover
+        import io
+
+        img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        return img, fmt
+    return None
+
+
 class ImageDecodeStage:
-    """binary image column → fixed-size decoded tensor + dims.
+    """binary image column → fixed-size decoded tensor + dims + codec.
 
     Output schema: + width:int32, height:int32, channels:int32,
-    pixels:fixed_size_list<uint8, H*W*C> (resized to ``target`` — the resize
-    IS the decode step here, mirroring a decode+resize fused stage).
+    codec:string, pixels:fixed_size_list<uint8, H*W*C> (decode fused with a
+    nearest-neighbour resize to ``target``). BMP/PPM payloads decode for
+    real; unrecognised payloads raise (strict) or fall back to the
+    deterministic stub with ``codec="stub"``.
     """
 
     def __init__(self, target: tuple[int, int] = (32, 32), channels: int = 3,
@@ -64,26 +94,36 @@ class ImageDecodeStage:
         self.seed = seed
         self.strict = strict
         self.payload_col = payload_col
-        if strict and not DECODERS_AVAILABLE:
-            raise NotImplementedError(
-                "image codecs (PIL) not available in this environment; "
-                "run with strict=False for the deterministic stub decode"
-            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = _binary_rows(batch[self.payload_col])
         n = len(payloads)
         pix = np.empty((n, self.h * self.w * self.c), dtype=np.uint8)
+        fmts: list[str] = []
         for i, p in enumerate(payloads):
-            if DECODERS_AVAILABLE:  # pragma: no cover
-                raise NotImplementedError("real decode path requires PIL")
-            pix[i] = _fake_pixels(p or b"", self.h, self.w, self.c, self.seed).reshape(-1)
+            decoded = decode_image_payload(p)
+            if decoded is not None:
+                img, fmt = decoded
+                img = codecs.resize_nearest(img, self.h, self.w)
+                if self.c == 1:
+                    img = img.mean(axis=2, keepdims=True).astype(np.uint8)
+                pix[i] = img.reshape(-1)
+                fmts.append(fmt)
+            elif self.strict:
+                raise NotImplementedError(
+                    f"undecodable image payload (sniffed "
+                    f"{codecs.sniff(p or b'')!r}; PIL available: {PIL_AVAILABLE})")
+            else:
+                pix[i] = _fake_pixels(p or b"", self.h, self.w, self.c,
+                                      self.seed).reshape(-1)
+                fmts.append("stub")
         flat = pa.array(pix.reshape(-1), pa.uint8())
         tensor = pa.FixedSizeListArray.from_arrays(flat, self.h * self.w * self.c)
         out = batch.drop_columns([self.payload_col])
         out = out.append_column("height", pa.array([self.h] * n, pa.int32()))
         out = out.append_column("width", pa.array([self.w] * n, pa.int32()))
         out = out.append_column("channels", pa.array([self.c] * n, pa.int32()))
+        out = out.append_column("codec", pa.array(fmts, pa.string()))
         return out.append_column("pixels", tensor)
 
 
@@ -118,37 +158,54 @@ class ImageFeatureStage:
 class AudioFrameSampleStage:
     """binary audio column → fixed number of frame-level summaries.
 
-    Stub decode: payload bytes chunked into ``n_frames`` windows, per-window
-    mean/std over the raw bytes (a real decoder would emit PCM frames)."""
+    RIFF/WAVE PCM-16 payloads decode for real (stdlib ``wave``): samples are
+    mono-mixed, normalised to [-1, 1] float, split into ``n_frames``
+    windows, and summarised as per-window mean/std (``codec="wav"``).
+    Unrecognised payloads raise (strict) or fall back to the same summary
+    over raw bytes (``codec="stub"``)."""
 
     def __init__(self, n_frames: int = 8, strict: bool = False,
                  payload_col: str = "payload"):
         self.n_frames = n_frames
+        self.strict = strict
         self.payload_col = payload_col
-        if strict and not DECODERS_AVAILABLE:
-            raise NotImplementedError("audio codecs not available")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = _binary_rows(batch[self.payload_col])
         n = len(payloads)
         out = np.zeros((n, self.n_frames * 2), dtype=np.float32)
+        fmts: list[str] = []
+        rates = np.zeros(n, dtype=np.int32)
         for i, p in enumerate(payloads):
-            if not p:
-                continue
-            arr = np.frombuffer(p, dtype=np.uint8).astype(np.float32)
+            if p and codecs.sniff(p) == "wav":
+                samples, rate = codecs.decode_wav_pcm16(p)
+                arr = samples.astype(np.float32).mean(axis=1) / 32768.0
+                fmts.append("wav")
+                rates[i] = rate
+            elif self.strict:
+                raise NotImplementedError(
+                    f"undecodable audio payload (sniffed {codecs.sniff(p or b'')!r})")
+            else:
+                arr = (np.frombuffer(p, dtype=np.uint8).astype(np.float32)
+                       if p else np.zeros(0, np.float32))
+                fmts.append("stub")
             chunks = np.array_split(arr, self.n_frames)
             out[i, 0::2] = [ch.mean() if len(ch) else 0.0 for ch in chunks]
             out[i, 1::2] = [ch.std() if len(ch) else 0.0 for ch in chunks]
         flat = pa.array(out.reshape(-1), pa.float32())
         frames = pa.FixedSizeListArray.from_arrays(flat, self.n_frames * 2)
-        return batch.drop_columns([self.payload_col]).append_column("frames", frames)
+        res = batch.drop_columns([self.payload_col])
+        res = res.append_column("codec", pa.array(fmts, pa.string()))
+        res = res.append_column("sample_rate", pa.array(rates, pa.int32()))
+        return res.append_column("frames", frames)
 
 
 def decode_images(media_ds, *, target=(32, 32), channels=3, batch_size: int = 32,
-                  concurrency: int = 4, seed: int = 42):
+                  concurrency: int = 4, seed: int = 42, strict: bool = False):
     """Actor-pool decode pipeline over a media Dataset (id, payload, ...)."""
     return media_ds.map_batches(
         ImageDecodeStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1,
-        fn_constructor_kwargs={"target": target, "channels": channels, "seed": seed},
+        fn_constructor_kwargs={"target": target, "channels": channels,
+                               "seed": seed, "strict": strict},
     )

@@ -54,13 +54,13 @@ def test_image_decode_stage(ray_session):
     import ray.data as rd
 
     from doppel_speller_ray.stages.multimodal import (
-        DECODERS_AVAILABLE,
-        ImageDecodeStage,
+        PIL_AVAILABLE,
         ImageFeatureStage,
         decode_images,
     )
 
-    assert not DECODERS_AVAILABLE  # this container has no codecs
+    assert not PIL_AVAILABLE  # built-in codecs only in this container
+    # unrecognised payloads → deterministic stub decode (codec="stub")
     rows = [{"media_id": i, "payload": bytes([i] * 100)} for i in range(10)]
     decoded = decode_images(rd.from_items(rows), target=(16, 16), concurrency=2)
     feats = decoded.map_batches(ImageFeatureStage, batch_format="pyarrow",
@@ -78,11 +78,14 @@ def test_image_decode_stage(ray_session):
         np.testing.assert_allclose(e1[k], e2[k])
 
 
-def test_image_decode_strict_raises():
+def test_image_decode_strict_raises_on_undecodable_payload():
+    import pyarrow as pa
+
     from doppel_speller_ray.stages.multimodal import ImageDecodeStage
 
+    batch = pa.table({"payload": pa.array([bytes(100)], pa.binary())})
     with pytest.raises(NotImplementedError):
-        ImageDecodeStage(strict=True)
+        ImageDecodeStage(strict=True)(batch)
 
 
 def test_audio_frame_sample(ray_session):
