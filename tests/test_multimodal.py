@@ -127,3 +127,38 @@ def test_media_fixture_decodes_end_to_end(ray_session):
         fn_constructor_kwargs={"n_frames": 4, "strict": True}).take_all()
     assert all(r["codec"] == "wav" for r in out)
     assert len(out) == len(audio)
+
+
+def test_image_neardup_pipeline_e2e(ray_session):
+    """Full image-dedup pipeline over REAL encoded payloads: planted
+    duplicate images (base + small noise) must pair up via decode →
+    feature-embed → embedding-LSH near-dup; distinct base colors must not.
+    """
+    import ray.data as rd
+
+    from doppel_speller_ray.stages.embed import embedding_neardup_lsh
+
+    rng = np.random.default_rng(17)
+    # 6 well-separated base colors; each gets one noisy near-dup copy.
+    palette = [(200, 30, 30), (30, 200, 30), (30, 30, 200),
+               (200, 200, 30), (200, 30, 200), (30, 200, 200)]
+    rows = []
+    for b, color in enumerate(palette):
+        base = np.clip(np.full((16, 16, 3), color, np.int16)
+                       + rng.integers(-8, 9, (16, 16, 3)), 0, 255).astype(np.uint8)
+        dup = np.clip(base.astype(np.int16)
+                      + rng.integers(-3, 4, (16, 16, 3)), 0, 255).astype(np.uint8)
+        for j, img in enumerate((base, dup)):
+            enc = codecs.encode_bmp if (b + j) % 2 == 0 else codecs.encode_ppm
+            rows.append({"media_id": b * 2 + j, "payload": enc(img)})
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+        "payload": pa.array([r["payload"] for r in rows], pa.binary())}))
+    emb = decode_images(ds, target=(16, 16), concurrency=2, strict=True) \
+        .map_batches(ImageFeatureStage, batch_format="pyarrow", concurrency=2)
+    pairs = embedding_neardup_lsh(emb, threshold=0.98, id_col="media_id",
+                                  n_planes=8, n_tables=8).take_all()
+    got = {(min(p["left_id"], p["right_id"]), max(p["left_id"], p["right_id"]))
+           for p in pairs}
+    expected = {(b * 2, b * 2 + 1) for b in range(len(palette))}
+    assert got == expected
