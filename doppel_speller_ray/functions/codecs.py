@@ -29,8 +29,9 @@ _BMP_INFO = struct.Struct("<IiiHHIIiiII")       # BITMAPINFOHEADER
 
 
 def sniff(payload: bytes) -> str | None:
-    """Identify a payload by magic bytes. Returns 'bmp' | 'ppm' | 'wav'
-    (built-in decodable), 'jpeg' | 'png' (image, needs PIL), or None."""
+    """Identify a payload by magic bytes. Returns 'bmp' | 'ppm' | 'wav' |
+    'y4m' (built-in decodable), 'jpeg' | 'png' (image, needs PIL), or
+    None."""
     if payload is None or len(payload) < 12:
         return None
     if payload[:2] == b"BM":
@@ -39,6 +40,8 @@ def sniff(payload: bytes) -> str | None:
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -48,6 +51,7 @@ def sniff(payload: bytes) -> str | None:
 
 BUILTIN_IMAGE_FORMATS = frozenset({"bmp", "ppm"})
 BUILTIN_AUDIO_FORMATS = frozenset({"wav"})
+BUILTIN_VIDEO_FORMATS = frozenset({"y4m"})
 
 
 # ---------------------------------------------------------------- images
@@ -155,3 +159,108 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
         raw = f.readframes(n)
         return (np.frombuffer(raw, dtype=np.int16).reshape(n, ch).copy(),
                 f.getframerate())
+
+
+# ----------------------------------------------------------------- video
+#
+# YUV4MPEG2 ("y4m") — the standard uncompressed video interchange format:
+# ASCII stream header `YUV4MPEG2 W<w> H<h> F<n>:<d> ... C<space>\n`, then
+# per frame `FRAME\n` + raw planar YUV. Simple enough to codec in pure
+# numpy. Supported colorspaces: C444 (no subsampling), C420/C420jpeg/
+# C420mpeg2 (2×2-subsampled chroma, nearest upsample on decode), Cmono.
+# RGB↔YUV uses full-range BT.601; gray frames (R=G=B) round-trip exactly.
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _rgb_to_yuv(frames: np.ndarray) -> np.ndarray:
+    f = frames.astype(np.float32)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    u = 128.0 + (f[..., 2] - y) * 0.492111
+    v = 128.0 + (f[..., 0] - y) * 0.877283
+    return np.clip(np.stack([y, u, v], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _yuv_to_rgb(yuv: np.ndarray) -> np.ndarray:
+    f = yuv.astype(np.float32)
+    y, u, v = f[..., 0], f[..., 1] - 128.0, f[..., 2] - 128.0
+    r = y + v / 0.877283
+    b = y + u / 0.492111
+    g = (y - 0.299 * r - 0.114 * b) / 0.587
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
+               colorspace: str = "C444") -> bytes:
+    """(N, H, W, 3) uint8 RGB (or (N, H, W, 1) with Cmono) → y4m bytes."""
+    n, h, w, c = frames.shape
+    if colorspace == "Cmono":
+        if c != 1:
+            raise ValueError("Cmono expects single-channel frames")
+        planes = [frames[..., 0]]
+    elif colorspace == "C444":
+        if c != 3:
+            raise ValueError("C444 expects RGB frames")
+        yuv = _rgb_to_yuv(frames)
+        planes = [yuv[..., 0], yuv[..., 1], yuv[..., 2]]
+    else:
+        raise ValueError(f"unsupported encoder colorspace {colorspace}")
+    out = [b"%s W%d H%d F%d:%d Ip A1:1 %s\n"
+           % (_Y4M_MAGIC, w, h, fps[0], fps[1], colorspace.encode())]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.extend(p[i].tobytes() for p in planes)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """y4m bytes → ((N, H, W, 3) uint8 RGB frames, (fps_num, fps_den)).
+    Cmono luma is replicated across the 3 output channels."""
+    nl = payload.index(b"\n")
+    fields = payload[:nl].split(b" ")
+    if fields[0] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = 0
+    fps = (25, 1)
+    cs = "C420"
+    for f in fields[1:]:
+        if f[:1] == b"W":
+            w = int(f[1:])
+        elif f[:1] == b"H":
+            h = int(f[1:])
+        elif f[:1] == b"F":
+            num, den = f[1:].split(b":")
+            fps = (int(num), int(den))
+        elif f[:1] == b"C":
+            cs = f.decode()
+    if not (w and h):
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith("C420"):
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+    elif cs == "C444":
+        ch, cw = h, w
+    elif cs == "Cmono":
+        ch = cw = 0
+    else:
+        raise ValueError(f"unsupported y4m colorspace {cs}")
+    frame_bytes = h * w + 2 * ch * cw
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m frame header")
+        pos = fl + 1
+        raw = np.frombuffer(payload, np.uint8, count=frame_bytes, offset=pos)
+        pos += frame_bytes
+        y = raw[: h * w].reshape(h, w)
+        if cs == "Cmono":
+            frames.append(np.repeat(y[..., None], 3, axis=-1))
+            continue
+        u = raw[h * w : h * w + ch * cw].reshape(ch, cw)
+        v = raw[h * w + ch * cw :].reshape(ch, cw)
+        if cs.startswith("C420"):  # nearest chroma upsample
+            u = u.repeat(2, axis=0)[:h].repeat(2, axis=1)[:, :w]
+            v = v.repeat(2, axis=0)[:h].repeat(2, axis=1)[:, :w]
+        frames.append(_yuv_to_rgb(np.stack([y, u, v], axis=-1)))
+    return np.stack(frames), fps

@@ -223,21 +223,33 @@ def true_dup_pairs(truth: pa.Table, include_containment: bool = False) -> set[tu
 
 def make_media(n: int = 12, seed: int = 11,
                size_range: tuple[int, int] = (8, 24),
-               audio_len: int = 2048) -> tuple[pa.Table, dict]:
+               audio_len: int = 2048,
+               kinds_cycle: tuple[str, ...] = ("bmp", "ppm", "wav"),
+               video_frames: int = 6) -> tuple[pa.Table, dict]:
     """Deterministic media fixture with REAL encoded payloads.
 
-    Rows cycle through bmp / ppm / wav; image pixels and audio samples are
-    seeded numpy arrays encoded with `functions/codecs.py`, so decode stages
-    can be round-trip-tested against exact ground truth. Returns
-    (media table: media_id,kind,payload, truth: media_id → source array).
+    Rows cycle through ``kinds_cycle`` (bmp / ppm / wav / y4m); image
+    pixels, audio samples and video frames are seeded numpy arrays encoded
+    with `functions/codecs.py`, so decode stages can be round-trip-tested
+    against exact ground truth. Returns (media table:
+    media_id,kind,payload, truth: media_id → source array).
     """
     from ..functions import codecs
 
     rng = np.random.default_rng(seed)
     kinds, payloads, truth = [], [], {}
     for i in range(n):
-        kind = ("bmp", "ppm", "wav")[i % 3]
-        if kind == "wav":
+        kind = kinds_cycle[i % len(kinds_cycle)]
+        if kind == "y4m":
+            h = int(rng.integers(*size_range))
+            w = int(rng.integers(*size_range))
+            # gray frames round-trip exactly through full-range BT.601
+            luma = rng.integers(0, 256, size=(video_frames, h, w, 1),
+                                dtype=np.int64).astype(np.uint8)
+            frames = np.repeat(luma, 3, axis=-1)
+            payloads.append(codecs.encode_y4m(frames, (25, 1)))
+            truth[i] = frames
+        elif kind == "wav":
             samples = rng.integers(-20000, 20000, size=audio_len,
                                    dtype=np.int64).astype(np.int16)
             payloads.append(codecs.encode_wav_pcm16(samples, 16000))

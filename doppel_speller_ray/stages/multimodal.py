@@ -8,8 +8,8 @@ actor-pool ``map_batches`` stages: codec state initialized once per actor in
 
 - **Built-in, always available** (`functions/codecs.py`, pure numpy /
   stdlib): BMP (24-bit uncompressed) and PPM (P6) images, RIFF/WAVE PCM-16
-  audio — decoded for real, exact round-trip tested, then resized with a
-  deterministic nearest-neighbour kernel.
+  audio, YUV4MPEG2 (y4m) video — decoded for real, exact round-trip
+  tested, then resized/frame-sampled with deterministic kernels.
 - **PIL extension** (guarded import, absent in this container): extends
   image coverage to JPEG/PNG. ``PIL_AVAILABLE`` gates it.
 - **Unrecognised payloads**: with ``strict=True`` the stage raises; with
@@ -101,7 +101,13 @@ class ImageDecodeStage:
         pix = np.empty((n, self.h * self.w * self.c), dtype=np.uint8)
         fmts: list[str] = []
         for i, p in enumerate(payloads):
-            decoded = decode_image_payload(p)
+            try:
+                decoded = decode_image_payload(p)
+            except Exception:
+                # sniffed as an image but the payload is corrupt/truncated
+                if self.strict:
+                    raise
+                decoded = None
             if decoded is not None:
                 img, fmt = decoded
                 img = codecs.resize_nearest(img, self.h, self.w)
@@ -177,8 +183,14 @@ class AudioFrameSampleStage:
         fmts: list[str] = []
         rates = np.zeros(n, dtype=np.int32)
         for i, p in enumerate(payloads):
+            samples = None
             if p and codecs.sniff(p) == "wav":
-                samples, rate = codecs.decode_wav_pcm16(p)
+                try:
+                    samples, rate = codecs.decode_wav_pcm16(p)
+                except Exception:
+                    if self.strict:
+                        raise
+            if samples is not None:
                 arr = samples.astype(np.float32).mean(axis=1) / 32768.0
                 fmts.append("wav")
                 rates[i] = rate
@@ -198,6 +210,68 @@ class AudioFrameSampleStage:
         res = res.append_column("codec", pa.array(fmts, pa.string()))
         res = res.append_column("sample_rate", pa.array(rates, pa.int32()))
         return res.append_column("frames", frames)
+
+
+class VideoFrameSampleStage:
+    """binary video column → evenly-sampled frame thumbnails.
+
+    YUV4MPEG2 (y4m) payloads decode for real (`functions/codecs.py`):
+    ``n_frames`` frames sampled at evenly-spaced indices, each resized to
+    ``thumb`` with the nearest-neighbour kernel, emitted as one
+    fixed-size float32 tensor (pixels / 255) usable as a video
+    fingerprint — plus ``n_total_frames`` and ``fps``. Unrecognised
+    payloads raise (strict) or emit a deterministic hash-seeded stub
+    (``codec="stub"``, ``n_total_frames=0``)."""
+
+    def __init__(self, n_frames: int = 4, thumb: tuple[int, int] = (8, 8),
+                 seed: int = 42, strict: bool = False,
+                 payload_col: str = "payload"):
+        self.n_frames = n_frames
+        self.th, self.tw = thumb
+        self.seed = seed
+        self.strict = strict
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _binary_rows(batch[self.payload_col])
+        n = len(payloads)
+        dim = self.n_frames * self.th * self.tw * 3
+        out = np.zeros((n, dim), dtype=np.float32)
+        fmts: list[str] = []
+        totals = np.zeros(n, dtype=np.int32)
+        fps_num = np.zeros(n, dtype=np.int32)
+        for i, p in enumerate(payloads):
+            frames = None
+            if p and codecs.sniff(p) == "y4m":
+                try:
+                    frames, fps = codecs.decode_y4m(p)
+                except Exception:
+                    if self.strict:
+                        raise
+            if frames is not None:
+                idx = np.linspace(0, len(frames) - 1, self.n_frames).round() \
+                    .astype(np.int64)
+                thumbs = np.stack([codecs.resize_nearest(frames[j], self.th,
+                                                         self.tw) for j in idx])
+                out[i] = thumbs.reshape(-1).astype(np.float32) / 255.0
+                fmts.append("y4m")
+                totals[i] = len(frames)
+                fps_num[i] = fps[0]
+            elif self.strict:
+                raise NotImplementedError(
+                    f"undecodable video payload (sniffed {codecs.sniff(p or b'')!r})")
+            else:
+                fake = _fake_pixels(p or b"", self.n_frames,
+                                    self.th * self.tw, 3, self.seed)
+                out[i] = fake.reshape(-1).astype(np.float32) / 255.0
+                fmts.append("stub")
+        flat = pa.array(out.reshape(-1), pa.float32())
+        frames_col = pa.FixedSizeListArray.from_arrays(flat, dim)
+        res = batch.drop_columns([self.payload_col])
+        res = res.append_column("codec", pa.array(fmts, pa.string()))
+        res = res.append_column("n_total_frames", pa.array(totals, pa.int32()))
+        res = res.append_column("fps_num", pa.array(fps_num, pa.int32()))
+        return res.append_column("frames", frames_col)
 
 
 def decode_images(media_ds, *, target=(32, 32), channels=3, batch_size: int = 32,

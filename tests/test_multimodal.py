@@ -162,3 +162,85 @@ def test_image_neardup_pipeline_e2e(ray_session):
            for p in pairs}
     expected = {(b * 2, b * 2 + 1) for b in range(len(palette))}
     assert got == expected
+
+
+def test_y4m_round_trip_gray_exact():
+    rng = np.random.default_rng(8)
+    luma = rng.integers(0, 256, size=(5, 6, 9, 1)).astype(np.uint8)
+    frames = np.repeat(luma, 3, axis=-1)  # gray → exact BT.601 round-trip
+    payload = codecs.encode_y4m(frames, (30, 1))
+    assert codecs.sniff(payload) == "y4m"
+    out, fps = codecs.decode_y4m(payload)
+    assert fps == (30, 1)
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_y4m_mono_and_color_tolerance():
+    rng = np.random.default_rng(9)
+    mono = rng.integers(0, 256, size=(3, 4, 4, 1)).astype(np.uint8)
+    out, _ = codecs.decode_y4m(codecs.encode_y4m(mono, colorspace="Cmono"))
+    np.testing.assert_array_equal(out, np.repeat(mono, 3, axis=-1))
+    color = rng.integers(0, 256, size=(2, 4, 4, 3)).astype(np.uint8)
+    out2, _ = codecs.decode_y4m(codecs.encode_y4m(color))
+    # full-range BT.601 through uint8 quantisation: small bounded error
+    assert np.abs(out2.astype(int) - color.astype(int)).max() <= 32
+
+
+def test_video_frame_sample_stage_real(ray_session):
+    import ray.data as rd
+
+    from doppel_speller_ray.stages.multimodal import VideoFrameSampleStage
+
+    table, truth = make_media(n=8, seed=21, kinds_cycle=("y4m", "wav"),
+                              video_frames=10)
+    videos = table.filter(pa.compute.field("kind") == "y4m")
+    out = rd.from_arrow(videos).map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"n_frames": 4, "thumb": (4, 4), "strict": True},
+    ).take_all()
+    assert len(out) == len(videos)
+    rows = {r["media_id"]: r for r in out}
+    mid = videos["media_id"][0].as_py()
+    r = rows[mid]
+    assert r["codec"] == "y4m" and r["n_total_frames"] == 10 and r["fps_num"] == 25
+    # first sampled frame (index 0) must equal the ground-truth thumbnail
+    got = np.asarray(r["frames"], np.float32).reshape(4, 4, 4, 3)[0]
+    expected = codecs.resize_nearest(truth[mid][0], 4, 4).astype(np.float32) / 255.0
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+    # strict mode rejects non-video payloads
+    from doppel_speller_ray.stages.multimodal import VideoFrameSampleStage as V
+    bad = pa.table({"payload": pa.array([b"not a video 1234"], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        V(strict=True)(bad)
+    stub = V(strict=False)(bad).to_pylist()[0]
+    assert stub["codec"] == "stub" and stub["n_total_frames"] == 0
+
+
+def test_corrupt_sniffed_payloads_fall_back_not_crash():
+    """Payloads whose magic sniffs as a known format but whose body is
+    truncated/corrupt must fall back to the stub in non-strict mode and
+    raise in strict mode — never crash the non-strict path."""
+    from doppel_speller_ray.stages.multimodal import VideoFrameSampleStage
+
+    corrupt = {
+        "bmp": b"BM" + bytes(20),                 # truncated BMP header
+        "ppm": b"P6\n4 4\n255\n" + bytes(3),      # body shorter than 4*4*3
+        "wav": b"RIFF\x00\x00\x00\x00WAVEjunk",   # no fmt/data chunks
+        "y4m": b"YUV4MPEG2 W4 H4",                # header missing newline
+    }
+    img = pa.table({"payload": pa.array([corrupt["bmp"], corrupt["ppm"]],
+                                        pa.binary())})
+    assert ImageDecodeStage(strict=False)(img)["codec"].to_pylist() == ["stub"] * 2
+    with pytest.raises(Exception):
+        ImageDecodeStage(strict=True)(img)
+
+    aud = pa.table({"payload": pa.array([corrupt["wav"]], pa.binary())})
+    assert AudioFrameSampleStage(strict=False)(aud)["codec"].to_pylist() == ["stub"]
+    with pytest.raises(Exception):
+        AudioFrameSampleStage(strict=True)(aud)
+
+    vid = pa.table({"payload": pa.array([corrupt["y4m"]], pa.binary())})
+    assert VideoFrameSampleStage(strict=False)(vid)["codec"].to_pylist() == ["stub"]
+    with pytest.raises(Exception):
+        VideoFrameSampleStage(strict=True)(vid)
