@@ -1650,3 +1650,42 @@ ORACLES.update({
     "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
 })
+
+
+def q_asof_purchase_click(sf_dir: str, num_partitions: int = 32):
+    """As-of join (operator Ray Data lacks — `stages/asof.py`): for every
+    purchase event, the most recent click by the same user at-or-before
+    the purchase time. Equivalent to DuckDB `p ASOF LEFT JOIN c ON
+    p.user_id = c.user_id AND p.ts >= c.ts`; the SQL oracle below spells
+    it with max()+join-back so (user_id, ts) ties resolve to the greatest
+    click event_id exactly as the kernel does (deterministic hash)."""
+    from ..stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    out = asof_join(purchases, clicks, by="user_id", on="ts",
+                    left_id="event_id", right_id="event_id",
+                    num_partitions=num_partitions)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["event_id", "user_id", "ts", "click_ts", "click_event_id"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_ASOF_PURCHASE_CLICK = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     m AS (SELECT p.event_id, p.user_id, p.ts, max(c.ts) AS click_ts
+           FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+           GROUP BY p.event_id, p.user_id, p.ts)
+SELECT m.event_id, m.user_id, m.ts, m.click_ts,
+       max(c.event_id) AS click_event_id
+FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.ts = m.click_ts
+GROUP BY m.event_id, m.user_id, m.ts, m.click_ts
+"""
+
+QUERIES["asof_purchase_click"] = q_asof_purchase_click
+ORACLES["asof_purchase_click"] = SQL_ASOF_PURCHASE_CLICK
