@@ -1689,3 +1689,146 @@ GROUP BY m.event_id, m.user_id, m.ts, m.click_ts
 
 QUERIES["asof_purchase_click"] = q_asof_purchase_click
 ORACLES["asof_purchase_click"] = SQL_ASOF_PURCHASE_CLICK
+
+
+def q_extract_text(sf_dir: str):
+    """HTML → text extraction (`functions/html.py` — the webtext ingest
+    stage the north_star's pages table implies; the reference has no HTML
+    stage, `common.py:50-72` starts from CSV text, so the spec is this
+    engine's own, documented in the module docstring). Pages are
+    synthesized deterministically from `documents.text` by the same
+    escape+wrap construction the fixtures use (no html column exists in
+    the shared testdata), then extracted by the vectorized RE2 chain; the
+    DuckDB oracle performs the identical construction AND the identical
+    extraction with its own RE2, so the hash compares two independent
+    engine implementations of the full spec."""
+    from ..functions.html import (escape_html_array, extract_text_array,
+                                  wrap_html_array)
+
+    def fn(t: pa.Table) -> pa.Table:
+        html = wrap_html_array(escape_html_array(t["text"]), t["doc_id"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "extracted": extract_text_array(html),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def _sql_extract_text() -> str:
+    from ..functions.html import sql_escape_wrap, sql_extract_text
+
+    inner = sql_escape_wrap("text", "doc_id")
+    return (f"SELECT doc_id, {sql_extract_text(inner)} AS extracted "
+            "FROM documents")
+
+
+QUERIES["extract_text"] = q_extract_text
+ORACLES["extract_text"] = _sql_extract_text()
+
+
+def q_url_canon(sf_dir: str):
+    """URL canonicalization (`functions/urls.py` — the pages-table dedup
+    key normalizer; no url column exists in the shared testdata, so messy
+    capture urls are synthesized deterministically from doc_id with
+    case/port/www/fragment/trailing-slash noise varying by doc_id % 5,
+    identically in both engines). The DuckDB oracle reconstructs AND
+    re-canonicalizes independently — a full cross-engine check of the spec."""
+    from ..functions.urls import canon_url_array
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        messy = [_messy_url(int(i)) for i in ids]  # construction only — the
+        # canon kernel below is the vectorized operator under test
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "canon_url": canon_url_array(pa.array(messy)),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+def _messy_url(i: int) -> str:
+    host = f"Site{i % 53}.Example.COM"
+    scheme, port = ("HTTP", ":80") if i % 2 == 0 else ("https", ":443")
+    www = "WWW." if i % 3 == 0 else ""
+    tail = ["/", "#Sec2", "?q=X#y", "", "//"][i % 5]
+    return f"{scheme}://{www}{host}{port}/Docs/{i}{tail}"
+
+
+def _sql_url_canon() -> str:
+    from ..functions.urls import sql_canon_url
+
+    messy = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' || "
+        "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || "
+        "'Site' || (doc_id % 53)::VARCHAR || '.Example.COM' || "
+        "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END || "
+        "'/Docs/' || doc_id::VARCHAR || "
+        "CASE doc_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '#Sec2' "
+        "WHEN 2 THEN '?q=X#y' WHEN 3 THEN '' ELSE '//' END)"
+    )
+    return (f"SELECT doc_id, {sql_canon_url(messy)} AS canon_url "
+            "FROM documents")
+
+
+QUERIES["url_canon"] = q_url_canon
+ORACLES["url_canon"] = _sql_url_canon()
+
+
+def q_dup_words(sf_dir: str):
+    """Gopher-style within-document repetition signal (Rae et al. 2021
+    §A1.1 use duplicated-line/ngram fractions as quality filters): per doc,
+    total ASCII-ws tokens, distinct tokens, and dup_word_ratio = 1 −
+    distinct/total (0 for empty docs) — the fraction of token occurrences
+    that repeat an earlier token. Tokenization contract matches `quality`
+    (trim + RE2 \\s+ split, SQL_QUALITY above); ratio rounded by the shared
+    half-up rule. The split is vectorized Arrow; the per-doc distinct count
+    is a C-level pandas groupby-nunique over the flattened (doc, token)
+    pairs — exact, no hashing."""
+    import pandas as pd
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"], "")
+        trimmed = pc.utf8_trim(texts, " ")
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tokens = np.where(empty, 0, n)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), n)
+        words = toks.flatten().to_pandas()
+        distinct = pd.Series(words.values).groupby(idx).nunique()
+        n_distinct = np.zeros(len(t), dtype=np.int64)
+        n_distinct[distinct.index.to_numpy()] = distinct.to_numpy()
+        n_distinct = np.where(empty, 0, n_distinct)
+        safe = np.maximum(n_tokens, 1).astype(np.float64)
+        ratio = np.where(n_tokens == 0, 0.0, 1.0 - n_distinct / safe)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "dup_word_ratio": pa.array(_round6_half_up(ratio), pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DUP_WORDS = """
+WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+           FROM documents WHERE trim(text) <> ''),
+a AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS n_dis
+      FROM t GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(a.n_tok, 0) AS n_tokens,
+  coalesce(a.n_dis, 0) AS n_distinct,
+  CASE WHEN a.n_tok IS NULL THEN 0.0
+       ELSE floor((1.0 - a.n_dis * 1.0 / greatest(a.n_tok, 1))
+                  * 1000000 + 0.5) / 1000000 END AS dup_word_ratio
+FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+"""
+
+QUERIES["dup_words"] = q_dup_words
+ORACLES["dup_words"] = SQL_DUP_WORDS

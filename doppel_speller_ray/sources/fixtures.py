@@ -122,11 +122,15 @@ def make_pages(
                   type=pa.timestamp("us"))
     langs = pa.array([("en", "de", "fr")[i % 11 % 3] if i % 11 < 3 else "en"
                       for i in range(n)])
-    html = pa.array([b"<html><body>" + t.encode() + b"</body></html>" for t in texts],
-                    type=pa.binary())
+    from ..functions.html import escape_html_array, wrap_html_array
+
+    text_arr = pa.array(texts)
+    html = wrap_html_array(escape_html_array(text_arr),
+                           pa.array(np.arange(n, dtype=np.int64))) \
+        .cast(pa.binary())
     pages = pa.table({
         "url": pa.array(urls), "warc_ts": ts, "html": html,
-        "text": pa.array(texts), "lang": langs,
+        "text": text_arr, "lang": langs,
     })
     truth = pa.table({
         "url": pa.array(urls),

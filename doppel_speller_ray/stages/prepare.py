@@ -123,12 +123,24 @@ def check_id_collisions(pages_ds, url_col: str = "url", seed: int = 0):
 
 def prepare_pages_batch(batch: pa.Table, *, cfg: DedupConfig,
                         keep_cols: tuple[str, ...] = ("url",),
-                        with_shingles: bool = True) -> pa.Table:
+                        with_shingles: bool = True,
+                        text_from_html: bool = False) -> pa.Table:
     """pages (url, warc_ts, html, text, lang — BASELINE input_hint) → docs.
 
-    Text extraction is the identity on the given ``text`` column (the
-    input_hint provides extracted text; the html column stays opaque binary).
+    By default text extraction is the identity on the given ``text`` column
+    (the input_hint provides extracted text; the html column stays opaque
+    binary). With ``text_from_html=True`` the text is instead RE-extracted
+    from the raw ``html`` bytes by the vectorized RE2 spec in
+    :mod:`..functions.html` — for corpora that ship only raw pages. The
+    extraction spec itself is oracled (CORRECTNESS `extract_text`), and for
+    fixture pages (escape+wrap construction) it reproduces the ``text``
+    column byte-identically up to whitespace-run collapse.
     """
+    if text_from_html:
+        from ..functions.html import extract_text_array
+
+        extracted = extract_text_array(batch["html"])
+        batch = batch.drop_columns(["text"]).append_column("text", extracted)
     batch = batch.append_column("doc_id", url_to_doc_id(batch["url"], cfg.seed))
     return prepare_batch(batch, cfg=cfg, id_col="doc_id", text_col="text",
                          keep_cols=keep_cols, with_shingles=with_shingles)
