@@ -137,3 +137,54 @@ def decode_shingle(code: int, n: int) -> str:
     """Inverse of the n<=8 exact packing (debugging aid)."""
     bs = int(code).to_bytes(8, "big")[-n:]
     return bs.decode("ascii")
+
+
+def word_ngram_hashes(
+    texts: pa.Array | pa.ChunkedArray, n: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat (row_index, gram_hash) OCCURRENCES of word n-grams per row.
+
+    Word-level analogue of :func:`shingle_flat` for cross-document
+    boilerplate detection: tokens are ASCII-ws splits (the SQL-parity
+    contract shared with `quality` / `dup_words`), each word is hashed
+    (:func:`..hashing.hash_strings`), and an n-gram id is the order-
+    sensitive splitmix64 chain over its n word hashes — everything
+    vectorized over the flat token buffer (no per-row Python). Rows with
+    fewer than n words yield no grams; duplicates within a row are kept
+    (occurrences, not a set — callers dedupe per row when they need
+    document frequencies).
+
+    Gram identity is the 64-bit chain hash, not the word string — two
+    distinct grams collide with probability ~2⁻⁶⁴ (the same convention as
+    the content-fingerprint operator, whose oracle doubles as the
+    collision check at test scale). Each chain step salts the incoming
+    word hash by its position (k·γ): a bare ``splitmix64(a ^ b)`` combine
+    is SYMMETRIC in its first step, so without the salt every
+    adjacent-word transposition ("x y …" vs "y x …") collides — observed
+    as a 2× hot-gram overcount on shuffled-word corpora.
+    """
+    import pyarrow.compute as pc
+
+    from .hashing import _SM_GAMMA, combine_u64, hash_strings
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    trimmed = pc.utf8_trim(texts, " ")
+    toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    words = toks.flatten()
+    h = hash_strings(words, seed)
+    row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    total = len(h)
+    if total < n:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64))
+    g = h[: total - n + 1].copy()
+    with np.errstate(over="ignore"):
+        for k in range(1, n):
+            g = combine_u64(g, h[k: total - n + 1 + k]
+                            + np.uint64(k) * _SM_GAMMA)
+    valid = row_idx[: total - n + 1] == row_idx[n - 1:]
+    return row_idx[: total - n + 1][valid], g[valid]

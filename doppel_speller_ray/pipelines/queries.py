@@ -1832,3 +1832,99 @@ FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
 
 QUERIES["dup_words"] = q_dup_words
 ORACLES["dup_words"] = SQL_DUP_WORDS
+
+
+def q_boilerplate(sf_dir: str, n: int = 5, min_df: int = 2):
+    """Cross-document boilerplate n-gram detection (CCNet/RefinedWeb-style
+    duplicated-span removal, the line-dedup analogue for unstructured
+    text): per doc, total word-5-gram occurrences, occurrences of "hot"
+    grams (grams appearing in ≥ min_df distinct docs), and their ratio.
+
+    Scale shape: pass 1 emits per-doc DISTINCT (doc, gram-hash) pairs —
+    exact in-batch because each doc's grams are generated inside its own
+    batch — then ONE groupby shuffle of 16 B rows yields document
+    frequencies; the hot set (df ≥ min_df) is the boilerplate vocabulary,
+    inherently low-cardinality, broadcast via ray.put (the same bounded-
+    stop-set assumption as the containment tier's stop-fingerprints).
+    Pass 2 recomputes grams per batch (cheaper than materializing the
+    corpus-sized gram table; at 100 TB checkpoint the pair table instead
+    if recompute grows dearer) and counts hot occurrences by
+    np.searchsorted — no joins, no per-doc groupby. Gram identity is the
+    64-bit chain hash (`functions/shingles.py:word_ngram_hashes`); the
+    DuckDB oracle uses gram STRINGS, so agreement also certifies
+    collision-freedom at test scale."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions.shingles import word_ngram_hashes
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        idx, g = word_ngram_hashes(t["text"], n, seed=_QCFG.seed)
+        order = np.lexsort((g, idx))
+        idx, g = idx[order], g[order]
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (idx[1:] != idx[:-1]) | (g[1:] != g[:-1])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[idx[keep]], pa.int64()),
+                         "gram": pa.array(g[keep].view(np.int64), pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    df = docs.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Count(alias_name="gdf"))
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return t.filter(pc2.greater_equal(t["gdf"], min_df)).select(["gram"])
+
+    hot_rows = df.map_batches(only_hot, batch_format="pyarrow").take_all()
+    hot = np.sort(np.array([r["gram"] for r in hot_rows], np.int64))
+    hot_ref = ray.put(hot)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        hot_sorted = ray.get(hot_ref)
+        idx, g = word_ngram_hashes(t["text"], n, seed=_QCFG.seed)
+        n_rows = len(t)
+        n_grams = np.bincount(idx, minlength=n_rows).astype(np.int64)
+        gi = g.view(np.int64)
+        if len(hot_sorted):
+            pos = np.searchsorted(hot_sorted, gi)
+            pos = np.minimum(pos, len(hot_sorted) - 1)
+            is_hot = hot_sorted[pos] == gi
+        else:
+            is_hot = np.zeros(len(gi), dtype=bool)
+        n_boiler = np.bincount(idx[is_hot], minlength=n_rows).astype(np.int64)
+        safe = np.maximum(n_grams, 1).astype(np.float64)
+        ratio = np.where(n_grams == 0, 0.0, n_boiler / safe)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_boiler": pa.array(n_boiler, pa.int64()),
+            "boiler_ratio": pa.array(_round6_half_up(ratio), pa.float64()),
+        })
+
+    return docs.map_batches(per_doc, batch_format="pyarrow")
+
+
+SQL_BOILERPLATE = """
+WITH ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents WHERE trim(text) <> ''),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                                   i -> array_to_string(w[i:i+4], ' '))) AS gram
+      FROM ws),
+df AS (SELECT gram, count(DISTINCT doc_id) AS gdf FROM g GROUP BY gram),
+per AS (SELECT g.doc_id, count(*) AS n_grams,
+               count(*) FILTER (WHERE df.gdf >= 2) AS n_boiler
+        FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+  coalesce(per.n_grams, 0) AS n_grams,
+  coalesce(per.n_boiler, 0) AS n_boiler,
+  CASE WHEN per.n_grams IS NULL THEN 0.0
+       ELSE floor(per.n_boiler * 1.0 / greatest(per.n_grams, 1)
+                  * 1000000 + 0.5) / 1000000 END AS boiler_ratio
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+QUERIES["boilerplate"] = q_boilerplate
+ORACLES["boilerplate"] = SQL_BOILERPLATE
