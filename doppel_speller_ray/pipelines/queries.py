@@ -1928,3 +1928,155 @@ FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 
 QUERIES["boilerplate"] = q_boilerplate
 ORACLES["boilerplate"] = SQL_BOILERPLATE
+
+
+def q_length_quantiles(sf_dir: str, ps: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """EXACT distributed quantiles of an integer column (doc length) via
+    value histogram — the scale pattern for percentiles over 10^12 rows
+    when the value domain is bounded (lengths, scores, counts): per-batch
+    bincount partials, ONE groupby-sum shuffle over (value, count) rows
+    (cardinality = distinct values, NOT corpus size), then nearest-rank
+    selection over the collected histogram (driver state = the histogram,
+    O(distinct values)). No sort of the corpus, no sampling error — unlike
+    t-digest/GK sketches this is exact, because integer domains make the
+    histogram small. Quantile definition (shared with the SQL oracle):
+    lower nearest-rank, q(p) = smallest v with running_count(v) ≥
+    ceil(p·n)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(vals, pa.int64()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    hist_ds = _docs(sf_dir, ["n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+    rows = hist_ds.take_all()  # bounded: one row per distinct length
+    vals = np.array([r["v"] for r in rows], np.int64)
+    cnts = np.array([r["cnt"] for r in rows], np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    run = np.cumsum(cnts)
+    n = int(run[-1]) if len(run) else 0
+    out_p, out_v = [], []
+    for p in ps:
+        rank = max(1, math.ceil(p * n))
+        out_p.append(p)
+        out_v.append(int(vals[np.searchsorted(run, rank)]))
+    return pa.table({"p": pa.array(out_p, pa.float64()),
+                     "q": pa.array(out_v, pa.int64())})
+
+
+SQL_LENGTH_QUANTILES = """
+WITH c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY v),
+r AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS run,
+             (SELECT count(*) FROM documents) AS n
+      FROM c)
+SELECT q.p, min(r.v) AS q
+FROM r, (VALUES (0.5), (0.9), (0.99)) AS q(p)
+WHERE r.run >= ceil(q.p * r.n)
+GROUP BY q.p
+"""
+
+QUERIES["length_quantiles"] = q_length_quantiles
+ORACLES["length_quantiles"] = SQL_LENGTH_QUANTILES
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: per-language fractions (en 10%,
+    de 50%, fr 100%, others 0) with the same fmix32 hash gate as
+    `sample_fraction` — membership depends only on (doc_id, seed, stratum
+    fraction), so the sample is retry/repartition/resume-stable per
+    stratum and exactly reproducible in SQL. The scale pattern for
+    quota-balanced training mixes (upsample rare languages, downsample
+    dominant ones) without a shuffle: one stateless map."""
+    from ..functions.hashing import fmix32
+
+    fracs = {"en": 0.10, "de": 0.50, "fr": 1.00}
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        thr = np.array([int(fracs.get(l, 0.0) * 2**32)
+                        for l in t["lang"].to_pylist()], np.uint64)
+        keep = fmix32(ids, seed=42) < thr
+        return t.filter(pa.array(keep)).select(["doc_id", "lang"])
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def _sql_stratified_sample() -> str:
+    from ..functions.hashing import sql_hash_sample
+
+    # same fmix32 pipeline, threshold switched per stratum
+    inner = sql_hash_sample("documents", "doc_id", 1.0, seed=42,
+                            select="doc_id, lang")
+    # sql_hash_sample filters at threshold 2^32 (keep-all); re-filter by
+    # the per-lang threshold using the exposed _h5 hash? _h5 is not in the
+    # select — inline the CASE threshold instead:
+    return inner.replace(
+        "WHERE _h5 < 4294967296",
+        "WHERE _h5 < (CASE lang WHEN 'en' THEN 429496729 "
+        "WHEN 'de' THEN 2147483648 WHEN 'fr' THEN 4294967296 "
+        "ELSE 0 END)")
+
+
+QUERIES["stratified_sample"] = q_stratified_sample
+ORACLES["stratified_sample"] = _sql_stratified_sample()
+
+
+def q_top_words_per_lang(sf_dir: str, k: int = 5):
+    """Per-group heavy hitters: top-k most frequent words per language
+    (vocabulary building / corpus profiling). Partial word counts combine
+    inside each batch (C-level pandas groupby over (lang, word)), ONE
+    groupby-sum shuffle over (lang, word, cnt) rows, then a bounded-
+    cardinality per-lang top-k (languages are an enum — the same
+    bounded-key argument as `event_type_counts`). Deterministic
+    tie-break: (count DESC, word ASC), replicated in the SQL window."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"], "")
+        trimmed = pc.utf8_trim(texts, " ")
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        langs = np.repeat(np.asarray(t["lang"].to_pylist(), dtype=object), n)
+        words = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        empty_doc = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        keep = ~np.repeat(empty_doc, n)
+        df = pd.DataFrame({"lang": langs[keep], "word": words[keep]})
+        agg = df.groupby(["lang", "word"], sort=False).size() \
+            .reset_index(name="cnt")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    counts = _docs(sf_dir, ["text", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "word"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def topk(g):
+        return g.sort_values(["cnt", "word"],
+                             ascending=[False, True]).head(k)
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+SQL_TOP_WORDS_PER_LANG = """
+WITH w AS (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+           FROM documents WHERE trim(text) <> ''),
+c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word),
+r AS (SELECT lang, word, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, word ASC) AS rn
+      FROM c)
+SELECT lang, word, cnt FROM r WHERE rn <= 5
+"""
+
+QUERIES["top_words_per_lang"] = q_top_words_per_lang
+ORACLES["top_words_per_lang"] = SQL_TOP_WORDS_PER_LANG
