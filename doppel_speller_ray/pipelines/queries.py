@@ -2080,3 +2080,21 @@ SELECT lang, word, cnt FROM r WHERE rn <= 5
 
 QUERIES["top_words_per_lang"] = q_top_words_per_lang
 ORACLES["top_words_per_lang"] = SQL_TOP_WORDS_PER_LANG
+
+
+# ---------------------------------------------------------------------------
+# LLM-corpus tier (PII scrub / decontamination / line dedup / packing /
+# domain stats / delta anti-join) — see pipelines/queries_corpus.py.
+# Imported last: queries_corpus imports helpers from this module.
+# ---------------------------------------------------------------------------
+
+try:
+    from .queries_corpus import CORPUS_ORACLES, CORPUS_QUERIES  # noqa: E402
+
+    QUERIES.update(CORPUS_QUERIES)
+    ORACLES.update(CORPUS_ORACLES)
+except ImportError:
+    # queries_corpus was imported first and is mid-initialization (it
+    # imports helpers from this module); its own tail merges into the
+    # QUERIES/ORACLES dicts instead.
+    pass

@@ -1,0 +1,612 @@
+"""LLM-corpus operators beyond the reference: PII redaction, benchmark
+decontamination, line-level dedup (CCNet-style), sequence packing by
+distributed prefix-sum, per-domain stats, and bloom-prefiltered delta
+anti-join. Each entry follows the house contract of `queries.py`: one Ray
+Data pipeline + one DuckDB oracle over the same parquet tables, column
+names identical on both sides, floats rounded by the shared half-up rule.
+
+The reference (`/root/reference/`) has no analogue for any of these — they
+are the training-data-pipeline operators the 100 TB deployment needs
+(dedup/quality tiers exist in `queries.py`; this module adds the scrub /
+contamination / packing / ingest-delta tiers).
+
+Where the shared testdata lacks the needed structure (no PII, no
+benchmark split, no line breaks, no ingest deltas), the structure is
+synthesized DETERMINISTICALLY from doc_id inside BOTH engines — the same
+convention as `q_url_canon` / `q_extract_text`: the construction is the
+test harness, the vectorized kernel under it is the operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .queries import _SQL_NORM, _docs
+
+
+def _mod_filter(ds, mod: int, residues: tuple[int, ...], negate: bool = False):
+    """Keep rows with doc_id % mod in residues (or not, when negate) —
+    vectorized batch mask (Ray's filter-expr parser lacks modulo)."""
+    res = tuple(residues)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids % mod, res)
+        if negate:
+            keep = ~keep
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+# ---------------------------------------------------------------------------
+# PII redaction — vectorized RE2 scrub (emails / IPv4 / phone) + match counts
+# ---------------------------------------------------------------------------
+
+# One pattern per PII class, RE2-compatible so the SAME string drives
+# Arrow's replace_substring_regex and DuckDB's regexp_replace.
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b555-\d{4}\b", "<PHONE>"),
+)
+
+
+def _pii_fragments(ids: np.ndarray) -> list[str]:
+    """Deterministic PII injection per doc_id % 4 (0 email, 1 ip, 2 phone,
+    3 all three) — the synthesized input construction, mirrored in SQL."""
+    out = []
+    for i in ids:
+        i = int(i)
+        email = f" reach user{i}@mail{i % 7}.example.com now"
+        ip = f" node at 10.{i % 200}.{(i * 7) % 250}.{i % 250} up"
+        phone = f" call 555-{1000 + i % 9000} today"
+        k = i % 4
+        if k == 0:
+            out.append(email)
+        elif k == 1:
+            out.append(ip)
+        elif k == 2:
+            out.append(phone)
+        else:
+            out.append(email + ip + phone)
+    return out
+
+
+_SQL_PII_TEXT = (
+    "(text || CASE doc_id % 4 "
+    "WHEN 0 THEN ' reach user' || doc_id::VARCHAR || '@mail' || (doc_id % 7)::VARCHAR || '.example.com now' "
+    "WHEN 1 THEN ' node at 10.' || (doc_id % 200)::VARCHAR || '.' || ((doc_id * 7) % 250)::VARCHAR || '.' || (doc_id % 250)::VARCHAR || ' up' "
+    "WHEN 2 THEN ' call 555-' || (1000 + doc_id % 9000)::VARCHAR || ' today' "
+    "ELSE ' reach user' || doc_id::VARCHAR || '@mail' || (doc_id % 7)::VARCHAR || '.example.com now'"
+    " || ' node at 10.' || (doc_id % 200)::VARCHAR || '.' || ((doc_id * 7) % 250)::VARCHAR || '.' || (doc_id % 250)::VARCHAR || ' up'"
+    " || ' call 555-' || (1000 + doc_id % 9000)::VARCHAR || ' today' "
+    "END)"
+)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub stage (the pre-training privacy pass every web-corpus
+    pipeline runs before tokenization): replace emails / IPv4 / phone
+    patterns with typed placeholders and count matches per class. Fully
+    vectorized — one RE2 `replace_substring_regex` + one
+    `count_substring_regex` per class over the whole Arrow batch, zero
+    Python in the hot path; stateless map, no shuffle, so it streams at
+    read bandwidth at any scale. PII is injected deterministically from
+    doc_id (the corpus has none); the DuckDB oracle re-injects AND
+    re-redacts with its own RE2 — a full cross-engine check of both the
+    construction and the three patterns."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pa.array(
+            [a + b for a, b in zip(pc.fill_null(t["text"], "").to_pylist(),
+                                   _pii_fragments(ids))],
+            pa.string())
+        n_pii = np.zeros(len(t), dtype=np.int64)
+        red = txt
+        for pat, repl in _PII_PATTERNS:
+            n_pii += pc.count_substring_regex(red, pattern=pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            red = pc.replace_substring_regex(red, pattern=pat,
+                                             replacement=repl)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "redacted": red,
+            "n_pii": pa.array(n_pii, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def _sql_pii_redact() -> str:
+    red = _SQL_PII_TEXT
+    counts = []
+    for pat, repl in _PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({red}, '{pat}'))")
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    n = " + ".join(counts)
+    return (f"SELECT doc_id, {red} AS redacted, "
+            f"CAST({n} AS BIGINT) AS n_pii FROM documents")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — word-n-gram overlap against a broadcast set
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(sf_dir: str, n: int = 5):
+    """Benchmark decontamination (GPT-3 §C / PaLM-style n-gram filtering):
+    flag corpus docs sharing any word-5-gram with a held-out benchmark
+    set. The benchmark is SMALL by definition — its distinct gram hashes
+    are collected once and broadcast (ray.put), then one stateless
+    map_batches flags the corpus by np.searchsorted: no join, no shuffle
+    over the corpus, the exact shape this runs at 100 TB (benchmark grams
+    ~10^6, corpus 10^12 rows stream through).
+
+    Benchmark split = doc_id % 20 == 0; contamination is planted
+    deterministically (docs with doc_id % 10 == 3 append the first-5-word
+    snippet of benchmark doc `doc_id - doc_id % 20`), identically in the
+    SQL oracle, which re-derives everything from gram STRINGS — agreement
+    also certifies the 64-bit gram-hash chain collision-free at test
+    scale (same convention as `q_boilerplate`)."""
+    import ray
+
+    from ..functions.shingles import word_ngram_hashes
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = _mod_filter(docs, 20, (0,))
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        _, g = word_ngram_hashes(t["text"], n, seed=0)
+        return pa.table({"gram": pa.array(np.unique(g).view(np.int64),
+                                          pa.int64())})
+
+    gram_rows = bench.map_batches(bench_grams, batch_format="pyarrow") \
+        .take_all()  # bounded: benchmark-sized, not corpus-sized
+    bench_set = np.unique(np.array([r["gram"] for r in gram_rows], np.int64))
+
+    snip_rows = bench.take_all()  # benchmark-sized
+    snippets = {int(r["doc_id"]): " ".join(str(r["text"] or "").split()[:5])
+                for r in snip_rows}
+    set_ref = ray.put(bench_set)
+    snip_ref = ray.put(snippets)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bset = ray.get(set_ref)
+        snips = ray.get(snip_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(t["text"], "").to_pylist()
+        aug = [txt + " " + snips[int(i) - int(i) % 20]
+               if i % 10 == 3 else txt
+               for i, txt in zip(ids, texts)]
+        idx, g = word_ngram_hashes(pa.array(aug, pa.string()), n, seed=0)
+        gi = g.view(np.int64)
+        if len(bset):
+            pos = np.minimum(np.searchsorted(bset, gi), len(bset) - 1)
+            hit = bset[pos] == gi
+        else:
+            hit = np.zeros(len(gi), dtype=bool)
+        contaminated = np.zeros(len(t), dtype=bool)
+        contaminated[np.unique(idx[hit])] = True
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "contaminated": pa.array(contaminated, pa.bool_()),
+        })
+
+    return _mod_filter(docs, 20, (0,), negate=True).map_batches(
+        flag, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = """
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+aug AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 3 THEN d.text || ' ' ||
+              array_to_string(string_split_regex(trim(b.text), '\\s+')[1:5], ' ')
+              ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN bench b ON b.doc_id = d.doc_id - (d.doc_id % 20)
+  WHERE d.doc_id % 20 <> 0),
+bw AS (SELECT string_split_regex(trim(text), '\\s+') AS w
+       FROM bench WHERE trim(text) <> ''),
+bg AS (SELECT DISTINCT
+         unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS gram
+       FROM bw),
+aw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       FROM aug WHERE trim(text) <> ''),
+ag AS (SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS gram
+       FROM aw),
+hit AS (SELECT DISTINCT ag.doc_id FROM ag JOIN bg USING (gram))
+SELECT a.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
+FROM aug a LEFT JOIN hit ON a.doc_id = hit.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup — CCNet/RefinedWeb duplicated-line removal, cleaned text
+# ---------------------------------------------------------------------------
+
+def q_line_dedup(sf_dir: str, min_df: int = 2):
+    """Line-level dedup (CCNet Wenzek et al. 2020 §3.1 dedupe paragraphs by
+    hash across the whole corpus; RefinedWeb does the same for lines):
+    lines appearing in ≥ min_df DISTINCT docs (headers, footers, cookie
+    banners) are removed; each doc's remaining lines are re-joined in
+    order. Shape: pass 1 emits (doc, line-hash) pairs → ONE groupby count
+    gives line document-frequencies; the hot-line set (boilerplate
+    vocabulary, inherently low-cardinality — same bounded-stop-set
+    assumption as `q_boilerplate`) is broadcast; pass 2 rebuilds each doc
+    inside its own batch — lines never shuffle, only their 16 B hashes do.
+
+    The corpus has no newlines, so 3-line pages are synthesized
+    deterministically (shared header variant / unique-ish body / shared
+    footer variant), identically in the SQL oracle, which keys lines by
+    STRING — agreement certifies the line-hash collision-free at test
+    scale. Output is the cleaned text (body survives, boilerplate lines
+    drop), the operator's real product."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import hash_strings
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def lines_of(t: pa.Table) -> tuple[np.ndarray, list[list[str]]]:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(t["text"], "").to_pylist()
+        per_doc = [[f"hdr variant {int(i) % 7}", txt,
+                    f"footer fine print {int(i) % 5}"]
+                   for i, txt in zip(ids, texts)]
+        return ids, per_doc
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        ids, per_doc = lines_of(t)
+        flat = [ln for doc in per_doc for ln in doc]
+        h = hash_strings(flat, seed=0).view(np.int64)
+        did = np.repeat(ids.astype(np.int64), 3)
+        order = np.lexsort((h, did))
+        did, h = did[order], h[order]
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = (did[1:] != did[:-1]) | (h[1:] != h[:-1])
+        return pa.table({"doc_id": pa.array(did[keep], pa.int64()),
+                         "line_hash": pa.array(h[keep], pa.int64())})
+
+    df = docs.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .groupby("line_hash").aggregate(Count(alias_name="df"))
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["df"], min_df)) \
+            .select(["line_hash"])
+
+    hot_rows = df.map_batches(only_hot, batch_format="pyarrow").take_all()
+    hot = np.sort(np.array([r["line_hash"] for r in hot_rows], np.int64))
+    hot_ref = ray.put(hot)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        hset = ray.get(hot_ref)
+        _, per_doc = lines_of(t)
+        flat = [ln for doc in per_doc for ln in doc]
+        h = hash_strings(flat, seed=0).view(np.int64)
+        if len(hset):
+            pos = np.minimum(np.searchsorted(hset, h), len(hset) - 1)
+            is_hot = hset[pos] == h
+        else:
+            is_hot = np.zeros(len(h), dtype=bool)
+        out, j = [], 0
+        for doc in per_doc:
+            kept = [ln for k, ln in enumerate(doc) if not is_hot[j + k]]
+            j += len(doc)
+            out.append("\n".join(kept))
+        return pa.table({"doc_id": t["doc_id"],
+                         "clean_text": pa.array(out, pa.string())})
+
+    return docs.map_batches(rebuild, batch_format="pyarrow")
+
+
+SQL_LINE_DEDUP = """
+WITH l AS (
+  SELECT doc_id, 1 AS ln, 'hdr variant ' || (doc_id % 7)::VARCHAR AS line
+  FROM documents
+  UNION ALL SELECT doc_id, 2, coalesce(text, '') FROM documents
+  UNION ALL
+  SELECT doc_id, 3, 'footer fine print ' || (doc_id % 5)::VARCHAR
+  FROM documents),
+df AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+k AS (SELECT l.doc_id, l.ln, l.line
+      FROM l JOIN df USING (line) WHERE df.df < 2)
+SELECT d.doc_id,
+       coalesce(string_agg(k.line, chr(10) ORDER BY k.ln), '') AS clean_text
+FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — distributed prefix-sum over a deterministic doc order
+# ---------------------------------------------------------------------------
+
+def q_pack_sequences(sf_dir: str, budget: int = 512, range_width: int = 32):
+    """Token-budget sequence packing (training-batch assembly): docs in
+    deterministic doc_id order are packed into sequences of `budget`
+    tokens — doc d's seq_id = floor(exclusive_prefix_sum(n_tokens) /
+    budget). The classic two-pass DISTRIBUTED PREFIX SUM: docs are
+    range-partitioned by doc_id (fixed width, so the partition of a row
+    is a pure function of its key — retry/resume-stable); pass 1 is one
+    small groupby-sum of per-partition token totals, whose running sum
+    gives each partition its exclusive global offset (driver state =
+    O(partitions); at 10^12 rows the offsets themselves are computed by a
+    second, recursive prefix-sum level rather than collected — same
+    kernel, log_P depth); pass 2 sorts each partition locally and adds
+    its offset. No global sort, no all-to-all: the only shuffle is the
+    coarse range-partition groupby. Tokenization contract shared with
+    `token_count` (trim + RE2 \\s+ split)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import whitespace_token_counts
+
+    def tokens(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = whitespace_token_counts(t["text"]).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "part": pa.array(ids // range_width, pa.int64())})
+
+    tok = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tokens, batch_format="pyarrow")
+
+    sums = tok.groupby("part").aggregate(
+        Sum("n_tokens", alias_name="tot")).take_all()  # O(partitions)
+    sums.sort(key=lambda r: r["part"])
+    offsets, run = {}, 0
+    for r in sums:
+        offsets[int(r["part"])] = run
+        run += int(r["tot"])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        n = g["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, n = ids[order], n[order]
+        base = offsets[int(ids[0]) // range_width]
+        excl = base + np.cumsum(n) - n
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "seq_id": pa.array(excl // budget, pa.int64())})
+
+    return tok.groupby("part").map_groups(per_part, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens", "seq_id"])
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 512) AS BIGINT) AS seq_id
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-domain stats — host extraction over canonicalized urls + groupby
+# ---------------------------------------------------------------------------
+
+def q_domain_stats(sf_dir: str):
+    """Per-domain corpus profile (crawl curation: quota/blocklist decisions
+    are made per registered domain): canonicalize the capture url
+    (`functions/urls.py`, same synthesized messy-url construction as
+    `q_url_canon`), extract the host with one vectorized RE2
+    `extract_regex`, then ONE groupby over the low-cardinality host key —
+    doc count and total chars per domain. The groupby ships 8 B ids +
+    short host strings, nothing corpus-sized."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.urls import canon_url_array
+    from .queries import _messy_url
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        messy = pa.array([_messy_url(int(i)) for i in ids], pa.string())
+        canon = canon_url_array(messy)
+        host = pc.struct_field(
+            pc.extract_regex(canon, pattern=r"^https?://(?P<host>[^/]+)"),
+            "host")
+        return pa.table({"host": host, "n_chars": t["n_chars"]})
+
+    agg = _docs(sf_dir, ["doc_id", "n_chars"]) \
+        .map_batches(fn, batch_format="pyarrow") \
+        .groupby("host").aggregate(Count(alias_name="n_docs"),
+                                   Sum("n_chars", alias_name="total_chars"))
+    return agg.map_batches(
+        lambda t: pa.table({"host": t["host"],
+                            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                            "total_chars": pc.cast(t["total_chars"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _sql_domain_stats() -> str:
+    from ..functions.urls import sql_canon_url
+
+    # Same messy-url construction as q_url_canon's oracle.
+    messy = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://' || "
+        "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || "
+        "'Site' || (doc_id % 53)::VARCHAR || '.Example.COM' || "
+        "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END || "
+        "'/Docs/' || doc_id::VARCHAR || "
+        "CASE doc_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '#Sec2' "
+        "WHEN 2 THEN '?q=X#y' WHEN 3 THEN '' ELSE '//' END)"
+    )
+    canon = sql_canon_url(messy)
+    return (
+        f"SELECT regexp_extract({canon}, '^https?://([^/]+)', 1) AS host, "
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered delta anti-join — incremental-ingest "what's new"
+# ---------------------------------------------------------------------------
+
+def q_bloom_delta(sf_dir: str, m_bits: int = 1 << 20, k_hashes: int = 4):
+    """Delta-ingest novelty filter: which docs of a new crawl batch (delta
+    = doc_id % 4 == 0) are NOT already in the base corpus by normalized
+    text? The scale pattern is a BLOOM-PREFILTERED anti-join: the base
+    side's norm-text hashes fold into a bloom filter built distributively
+    (one fixed-size bitmap per block, OR-combined — 128 KiB each here;
+    at 10^12 rows the partials tree-reduce instead of collecting flat,
+    and m_bits sizes to the base cardinality); the broadcast filter
+    definitively clears the typically-large "genuinely new" fraction with
+    zero shuffle, and only bloom-POSITIVES (true dups + ~0.4% false
+    positives at these parameters) pay the exact hash join against the
+    base. Output is EXACT — the bloom only routes, never decides.
+
+    Planted overlap: delta docs with doc_id % 20 == 0 take base doc
+    (doc_id + 1)'s text, identically in the SQL oracle, which anti-joins
+    on the norm STRING — agreement also certifies the 64-bit text hash
+    collision-free at test scale."""
+    import ray
+
+    from ..functions.hashing import hash_strings
+    from ..functions.normalize import normalize_array
+    from .queries import _QCFG
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    planted_rows = _mod_filter(docs, 20, (1,)).take_all()
+    planted = {int(r["doc_id"]): str(r["text"] or "") for r in planted_rows}
+    planted_ref = ray.put(planted)
+
+    def norm_hash_base(t: pa.Table) -> pa.Table:
+        h = hash_strings(
+            normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams),
+            seed=7).view(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    base = _mod_filter(docs, 4, (0,), negate=True)
+    base_h = base.map_batches(norm_hash_base, batch_format="pyarrow")
+
+    words = m_bits // 64
+
+    def _positions(h: np.ndarray) -> np.ndarray:
+        """(len(h), k) bit positions by double hashing h1 + i*h2 mod m."""
+        hu = h.view(np.uint64)
+        h1 = hu & np.uint64(m_bits - 1)
+        h2 = ((hu >> np.uint64(33)) | np.uint64(1)) & np.uint64(m_bits - 1)
+        i = np.arange(k_hashes, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + i[None, :] * h2[:, None]) \
+                & np.uint64(m_bits - 1)
+
+    def bitmap_partial(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        bits = np.zeros(words, dtype=np.uint64)
+        pos = _positions(h).ravel()
+        np.bitwise_or.at(bits, pos >> np.uint64(6),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    partials = base_h.map_batches(bitmap_partial, batch_format="pyarrow",
+                                  batch_size=65536).take_all()
+    bloom = np.zeros(words, dtype=np.uint64)
+    for r in partials:  # O(blocks) 128 KiB partials; tree-reduce at scale
+        bloom |= np.frombuffer(r["bits"], dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def delta_hash(t: pa.Table) -> pa.Table:
+        pl = ray.get(planted_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(t["text"], "").to_pylist()
+        eff = [pl[int(i) + 1] if i % 20 == 0 else txt
+               for i, txt in zip(ids, texts)]
+        h = hash_strings(
+            normalize_array(pa.array(eff, pa.string()),
+                            _QCFG.max_chars, _QCFG.n_grams),
+            seed=7).view(np.int64)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                         "h": pa.array(h, pa.int64())})
+
+    delta_h = _mod_filter(docs, 4, (0,)).map_batches(
+        delta_hash, batch_format="pyarrow")
+
+    def split_by_bloom(t: pa.Table) -> pa.Table:
+        bl = ray.get(bloom_ref)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        pos = _positions(h)
+        hit = np.ones(len(h), dtype=bool)
+        for j in range(k_hashes):
+            p = pos[:, j]
+            hit &= (bl[p >> np.uint64(6)]
+                    >> (p & np.uint64(63))) & np.uint64(1) != 0
+        return t.append_column("maybe_dup", pa.array(hit, pa.bool_()))
+
+    flagged = delta_h.map_batches(split_by_bloom, batch_format="pyarrow")
+
+    # Exact verify only for bloom-positives: inner join against the base
+    # hash stream (duplicate base rows just repeat a matched id — the
+    # collected DISTINCT id set is bounded by dups + bloom FPs, small).
+    def pos_only(t: pa.Table) -> pa.Table:
+        return t.filter(t["maybe_dup"]).select(["doc_id", "h"])
+
+    positives = flagged.map_batches(pos_only, batch_format="pyarrow")
+    matched = positives.join(base_h, join_type="inner",
+                             num_partitions=4, on=("h",))
+    matched_ids = np.unique(np.array(
+        [r["doc_id"] for r in
+         matched.select_columns(["doc_id"]).take_all()], np.int64))
+    matched_ref = ray.put(matched_ids)
+
+    def is_new(t: pa.Table) -> pa.Table:
+        mi = ray.get(matched_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, mi)
+        return t.filter(pa.array(keep)).select(["doc_id"])
+
+    return flagged.map_batches(is_new, batch_format="pyarrow")
+
+
+SQL_BLOOM_DELTA = f"""
+WITH delta AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 20 = 0 THEN b.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 4 = 0),
+base AS (SELECT {_SQL_NORM} AS n FROM documents WHERE doc_id % 4 <> 0),
+dn AS (SELECT doc_id, {_SQL_NORM} AS n FROM delta)
+SELECT doc_id FROM dn WHERE n NOT IN (SELECT n FROM base)
+"""
+
+
+CORPUS_QUERIES = {
+    "pii_redact": q_pii_redact,
+    "decontaminate": q_decontaminate,
+    "line_dedup": q_line_dedup,
+    "pack_sequences": q_pack_sequences,
+    "domain_stats": q_domain_stats,
+    "bloom_delta": q_bloom_delta,
+}
+
+CORPUS_ORACLES = {
+    "pii_redact": _sql_pii_redact(),
+    "decontaminate": SQL_DECONTAMINATE,
+    "line_dedup": SQL_LINE_DEDUP,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "domain_stats": _sql_domain_stats(),
+    "bloom_delta": SQL_BLOOM_DELTA,
+}
+
+# Merge into the main catalog here too, so the merge happens no matter
+# which of the two modules is imported first (see queries.py tail).
+from .queries import ORACLES as _MAIN_ORACLES  # noqa: E402
+from .queries import QUERIES as _MAIN_QUERIES  # noqa: E402
+
+_MAIN_QUERIES.update(CORPUS_QUERIES)
+_MAIN_ORACLES.update(CORPUS_ORACLES)

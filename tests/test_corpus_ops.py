@@ -1,0 +1,131 @@
+"""Hand-computed unit tests for the LLM-corpus tier
+(pipelines/queries_corpus.py): PII patterns, bloom-filter membership,
+prefix-sum packing, line dedup, decontamination. Oracle parity at sf0.01
+is covered separately by test_queries_oracle.py (the catalog import picks
+the new entries up automatically)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from doppel_speller_ray.pipelines.queries_corpus import (_PII_PATTERNS,
+                                                         q_decontaminate,
+                                                         q_line_dedup,
+                                                         q_pack_sequences)
+
+
+def _redact(s: str) -> tuple[str, int]:
+    arr = pa.array([s], pa.string())
+    n = 0
+    for pat, repl in _PII_PATTERNS:
+        n += pc.count_substring_regex(arr, pattern=pat)[0].as_py()
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+    return arr[0].as_py(), n
+
+
+def test_pii_patterns_hand_cases():
+    assert _redact("mail a.b+c@x-y.co now") == ("mail <EMAIL> now", 1)
+    assert _redact("at 10.0.0.1") == ("at <IP>", 1)
+    assert _redact("ring 555-0199!") == ("ring <PHONE>!", 1)
+    # all three in one string
+    out, n = _redact("u@e.io 1.2.3.4 555-1234")
+    assert out == "<EMAIL> <IP> <PHONE>" and n == 3
+    # non-matches: short phone, no-TLD email, 3-octet ip
+    assert _redact("555-12 a@b 1.2.3 x") == ("555-12 a@b 1.2.3 x", 0)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    # Reimplements the query's double-hashing bitmap on a small filter and
+    # checks the structural guarantee (no false negatives) + FP rate.
+    m_bits, k = 1 << 16, 4
+    words = m_bits // 64
+
+    def positions(h):
+        hu = h.view(np.uint64)
+        h1 = hu & np.uint64(m_bits - 1)
+        h2 = ((hu >> np.uint64(33)) | np.uint64(1)) & np.uint64(m_bits - 1)
+        i = np.arange(k, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(m_bits - 1)
+
+    rng = np.random.default_rng(7)
+    inserted = rng.integers(0, 2**63, 2000, dtype=np.int64)
+    probes = rng.integers(0, 2**63, 20000, dtype=np.int64)
+    bits = np.zeros(words, dtype=np.uint64)
+    pos = positions(inserted).ravel()
+    np.bitwise_or.at(bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+
+    def member(h):
+        p = positions(h)
+        hit = np.ones(len(h), dtype=bool)
+        for j in range(k):
+            pj = p[:, j]
+            hit &= (bits[pj >> np.uint64(6)] >> (pj & np.uint64(63))) & np.uint64(1) != 0
+        return hit
+
+    assert member(inserted).all()  # the bloom guarantee
+    fresh = probes[~np.isin(probes, inserted)]
+    fp = member(fresh).mean()
+    # n=2000, m=65536, k=4 → theoretical FP ≈ (1-e^{-kn/m})^k ≈ 0.024%... loose bound:
+    assert fp < 0.02, fp
+
+
+@pytest.fixture()
+def mini_docs(tmp_path):
+    """documents.parquet with hand-chosen ids/texts for the corpus ops."""
+    def write(rows):
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["t"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int32()),
+        })
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, tmp_path / "documents.parquet")
+        return str(tmp_path)
+
+    return write
+
+
+def test_pack_sequences_hand(ray_session, mini_docs):
+    # tokens: doc0=3, doc1=2, doc2=4, doc5=1 → exclusive prefix 0,3,5,9
+    # budget 4 → seq 0,0,1,2
+    sf = mini_docs([(0, "a b c"), (1, "d e"), (2, "f g h i"), (5, "j")])
+    out = {r["doc_id"]: (r["n_tokens"], r["seq_id"])
+           for r in q_pack_sequences(sf, budget=4, range_width=2).take_all()}
+    assert out == {0: (3, 0), 1: (2, 0), 2: (4, 1), 5: (1, 2)}
+
+
+def test_line_dedup_hand(ray_session, mini_docs):
+    # doc ids 0 and 7 share hdr variant 0; 1 and 8 share hdr variant 1;
+    # docs 0/7 also share the SAME body → body removed; unique bodies kept.
+    sf = mini_docs([(0, "same body"), (7, "same body"),
+                    (1, "uniq one"), (8, "uniq two")])
+    out = {r["doc_id"]: r["clean_text"] for r in q_line_dedup(sf).take_all()}
+    # headers/footers: variant = id%7 / id%5. ids 0,7 → hdr 0 shared (df2);
+    # footers 0%5=0, 7%5=2, 1%5=1, 8%5=3 all unique → kept.
+    assert out[0] == "footer fine print 0"
+    assert out[7] == "footer fine print 2"
+    assert out[1] == "uniq one\nfooter fine print 1"
+    assert out[8] == "uniq two\nfooter fine print 3"
+
+
+def test_decontaminate_hand(ray_session, mini_docs):
+    # doc 0 (id%20==0) is benchmark: 6 words → grams exist.
+    # doc 3 (id%10==3) gets benchmark-0's first-5-word snippet appended →
+    # contaminated. doc 1 shares nothing → clean. doc 23 (id%10==3) pulls
+    # snippet from benchmark 20.
+    sf = mini_docs([
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "one two three four five six"),
+        (3, "hello worlds apart entirely disjoint words"),
+        (20, "red orange yellow green blue indigo"),
+        (23, "moon sun star comet nebula dust"),
+    ])
+    out = {r["doc_id"]: r["contaminated"]
+           for r in q_decontaminate(sf).take_all()}
+    assert set(out) == {1, 3, 23}  # benchmarks excluded from output
+    assert out[3] is True and out[23] is True and out[1] is False
