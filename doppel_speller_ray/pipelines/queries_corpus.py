@@ -550,18 +550,36 @@ def q_bloom_delta(sf_dir: str, m_bits: int = 1 << 20, k_hashes: int = 4):
 
     flagged = delta_h.map_batches(split_by_bloom, batch_format="pyarrow")
 
-    # Exact verify only for bloom-positives: inner join against the base
-    # hash stream (duplicate base rows just repeat a matched id — the
-    # collected DISTINCT id set is bounded by dups + bloom FPs, small).
-    def pos_only(t: pa.Table) -> pa.Table:
-        return t.filter(t["maybe_dup"]).select(["doc_id", "h"])
+    # Exact verify only for bloom-positives: tag-and-group semi-join (the
+    # J1/J2 house pattern — one coarse hash-partition groupby, vectorized
+    # np.isin inside; no acero join, so empty partitions are harmless).
+    # The collected matched-id set is bounded by dups + bloom FPs — small.
+    n_parts = 16
 
-    positives = flagged.map_batches(pos_only, batch_format="pyarrow")
-    matched = positives.join(base_h, join_type="inner",
-                             num_partitions=4, on=("h",))
+    def pos_tagged(t: pa.Table) -> pa.Table:
+        t = t.filter(t["maybe_dup"]).select(["doc_id", "h"])
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(h % n_parts, pa.int64()))
+
+    def base_tagged(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(np.full(len(h), -1), pa.int64()),
+                         "h": t["h"],
+                         "part": pa.array(h % n_parts, pa.int64())})
+
+    tagged = flagged.map_batches(pos_tagged, batch_format="pyarrow") \
+        .union(base_h.map_batches(base_tagged, batch_format="pyarrow"))
+
+    def semi(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        is_pos = ids >= 0
+        hit = np.isin(h[is_pos], h[~is_pos])
+        return pa.table({"doc_id": pa.array(ids[is_pos][hit], pa.int64())})
+
+    matched = tagged.groupby("part").map_groups(semi, batch_format="pyarrow")
     matched_ids = np.unique(np.array(
-        [r["doc_id"] for r in
-         matched.select_columns(["doc_id"]).take_all()], np.int64))
+        [r["doc_id"] for r in matched.take_all()], np.int64))
     matched_ref = ray.put(matched_ids)
 
     def is_new(t: pa.Table) -> pa.Table:
