@@ -113,7 +113,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     secondary = dict.fromkeys((
         "normalize", "word_df", "ngram_df", "exact_text_groups",
         "token_count", "simhash", "fingerprint", "lineitem_agg",
-        "events_hourly", "ann_topk", "extract_text", "boilerplate"))
+        "events_hourly", "ann_topk", "extract_text", "boilerplate",
+        "pii_redact", "line_dedup", "pack_sequences"))
     secondary["simhash"] = Q.q_simhash_values
     secondary["fingerprint"] = Q.q_fingerprint_values
     for name, fn in secondary.items():
