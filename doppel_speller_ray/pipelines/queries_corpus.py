@@ -603,6 +603,118 @@ SELECT doc_id FROM dn WHERE n NOT IN (SELECT n FROM base)
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH similarity join — both-sides-large fuzzy join (pipelines/fuzzy_join.py)
+# ---------------------------------------------------------------------------
+
+def q_lsh_join(sf_dir: str):
+    """Both-sides-large near-duplicate JOIN (`pipelines/fuzzy_join.py`):
+    left = salted base docs, right = salted 1-edit misspellings (ids
+    +1_000_000, raw len ≥ 60 — the same planted-salted construction and
+    closed-form argument as `minhash_lsh_clusters`: the shared salt pins
+    each right row's ONLY near-duplicate to its own base, so the verified
+    per-right argmax is exactly (base+1e6 → base)). Exercises the full
+    bipartite path: two-sided band explode → cross-side bucket pairing →
+    payload join → Jaccard/Levenshtein verify → coarse-partition argmax."""
+    from ..functions.misspell import misspell
+    from .fuzzy_join import lsh_similarity_join
+    from .queries import _planted_guard, _salt
+
+    def mk_left(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        _planted_guard(ids)
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"{_salt(i)} {x}" for i, x in zip(ids, texts)],
+                             pa.string()),
+        })
+
+    def mk_right(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        _planted_guard(ids)
+        texts = t["text"].to_pylist()
+        out_i, out_t = [], []
+        for i, x in zip(ids, texts):
+            if len(x) >= 60:
+                out_i.append(i + 1_000_000)
+                out_t.append(f"{_salt(i)} {misspell(x, 10_000 + i, n_perturbations=1)}")
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+    left = base.map_batches(mk_left, batch_format="pyarrow")
+    right = base.map_batches(mk_right, batch_format="pyarrow")
+    from .queries import _QCFG
+
+    out = lsh_similarity_join(left, right, _QCFG)
+    return out.select_columns(["right_id", "left_id"])
+
+
+SQL_LSH_JOIN = """
+SELECT doc_id + 1000000 AS right_id, doc_id AS left_id
+FROM documents WHERE length(text) >= 60
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window aggregate — window fan-out instead of a windowed shuffle
+# ---------------------------------------------------------------------------
+
+def q_events_sliding(sf_dir: str, window_hours: int = 3):
+    """Sliding 3-hour window, 1-hour slide: per output hour h, count and
+    value-sum of events in (h−2 .. h]. Ray Data has no event-time windows;
+    the scale shape is WINDOW FAN-OUT — each event row expands to
+    window/slide = 3 (hour, value) contributions (np.repeat on 16 B rows,
+    in-batch) and ONE plain groupby does the rest. No ordering assumption,
+    no per-window state, no sort: the classic streaming trick of turning a
+    sliding window into a tumbling one by key replication."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    us_per_hour = 3_600_000_000
+
+    def expand(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t["ts"], unit="hour")
+        h_us = pc.cast(pc.cast(h, pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        k = np.tile(np.arange(window_hours, dtype=np.int64), len(h_us))
+        hours = np.repeat(h_us, window_hours) + k * us_per_hour
+        return pa.table({
+            "hour": pa.array(hours, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(np.repeat(v, window_hours)),
+        })
+
+    agg = ev.map_batches(expand, batch_format="pyarrow") \
+        .groupby("hour").aggregate(Count(alias_name="n_events"),
+                                   Sum("value", alias_name="sum_value"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.cast(t["hour"], pa.timestamp("us")),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pc.round(t["sum_value"], 3),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_EVENTS_SLIDING = """
+WITH x AS (
+  SELECT date_trunc('hour', ts) + to_hours(k) AS hour, value
+  FROM events, (VALUES (0), (1), (2)) AS t(k))
+SELECT hour, count(*) AS n_events, round(sum(value), 3) AS sum_value
+FROM x GROUP BY hour
+"""
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
 CORPUS_QUERIES = {
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
@@ -610,6 +722,8 @@ CORPUS_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "domain_stats": q_domain_stats,
     "bloom_delta": q_bloom_delta,
+    "lsh_join": q_lsh_join,
+    "events_sliding": q_events_sliding,
 }
 
 CORPUS_ORACLES = {
@@ -619,6 +733,8 @@ CORPUS_ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "domain_stats": _sql_domain_stats(),
     "bloom_delta": SQL_BLOOM_DELTA,
+    "lsh_join": SQL_LSH_JOIN,
+    "events_sliding": SQL_EVENTS_SLIDING,
 }
 
 # Merge into the main catalog here too, so the merge happens no matter

@@ -129,3 +129,73 @@ def test_decontaminate_hand(ray_session, mini_docs):
            for r in q_decontaminate(sf).take_all()}
     assert set(out) == {1, 3, 23}  # benchmarks excluded from output
     assert out[3] is True and out[23] is True and out[1] is False
+
+
+def test_lsh_similarity_join_bipartite(ray_session):
+    """Hand-built: right rows match their near-identical left; SAME-side
+    near-dups never pair (bipartite contract)."""
+    import ray.data as rd
+
+    from doppel_speller_ray.config import DedupConfig
+    from doppel_speller_ray.pipelines.fuzzy_join import lsh_similarity_join
+
+    base_a = "the quick brown fox jumps over the lazy dog again and again today"
+    base_b = "completely different content about distributed prefix sums and arrow"
+    left = rd.from_items([
+        {"doc_id": 1, "text": base_a},
+        {"doc_id": 2, "text": base_a + " extra"},   # near-dup of 1, SAME side
+        {"doc_id": 3, "text": base_b},
+    ])
+    right = rd.from_items([
+        {"doc_id": 101, "text": base_a + "!"},
+        {"doc_id": 103, "text": base_b.replace("arrow", "arow")},
+        {"doc_id": 105, "text": "unrelated text that matches nothing at all here"},
+    ])
+    out = lsh_similarity_join(left, right, DedupConfig(max_chars=None))
+    rows = {r["right_id"]: r["left_id"] for r in out.take_all()}
+    assert rows[101] in (1, 2)   # both lefts are near-identical; one wins
+    assert rows[103] == 3
+    assert 105 not in rows       # nothing similar on the left
+    # bipartite: left ids never appear as right_id
+    assert all(rid > 100 for rid in rows)
+
+
+def test_lsh_join_best_only_false_returns_all(ray_session):
+    import ray.data as rd
+
+    from doppel_speller_ray.config import DedupConfig
+    from doppel_speller_ray.pipelines.fuzzy_join import lsh_similarity_join
+
+    txt = "a shared very long base sentence with plenty of repeated tokens inside"
+    left = rd.from_items([{"doc_id": 1, "text": txt},
+                          {"doc_id": 2, "text": txt + " x"}])
+    right = rd.from_items([{"doc_id": 101, "text": txt + " y"}])
+    all_rows = lsh_similarity_join(
+        left, right, DedupConfig(max_chars=None), best_only=False).take_all()
+    assert {r["left_id"] for r in all_rows} == {1, 2}
+    best = lsh_similarity_join(
+        left, right, DedupConfig(max_chars=None), best_only=True).take_all()
+    assert len(best) == 1 and best[0]["right_id"] == 101
+
+
+def test_events_sliding_hand(ray_session, tmp_path):
+    """3 events in hours 0,0,2 → windows: h0{2}, h1{2}, h2{3}, h3{1}, h4{1}."""
+    import pyarrow.parquet as pq
+
+    from doppel_speller_ray.pipelines.queries_corpus import q_events_sliding
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    hour = np.timedelta64(3600, "s")
+    t = pa.table({
+        "ts": pa.array([base + hour // 2, base + hour // 3, base + 2 * hour],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0]),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = {str(r["hour"]): (r["n_events"], r["sum_value"])
+           for r in q_events_sliding(str(tmp_path)).take_all()}
+    assert out["2024-01-01 00:00:00"] == (2, 3.0)
+    assert out["2024-01-01 01:00:00"] == (2, 3.0)
+    assert out["2024-01-01 02:00:00"] == (3, 7.0)
+    assert out["2024-01-01 03:00:00"] == (1, 4.0)
+    assert out["2024-01-01 04:00:00"] == (1, 4.0)
