@@ -715,6 +715,66 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle — hash-range prefix-sum rank assignment
+# ---------------------------------------------------------------------------
+
+def q_shuffle_rank(sf_dir: str, seed: int = 42, log2_parts: int = 4):
+    """Deterministic global shuffle for training export: each doc's rank is
+    its position in fmix32(doc_id ^ seed) order — seed-stable, so reruns,
+    retries and resumed exports see the SAME permutation (Ray's
+    random_shuffle is neither deterministic across runs nor resumable).
+    Shape: hash-RANGE partitions (part = top log2_parts bits of the hash —
+    uniform by the mixer's avalanche, so no skew) + the same two-pass
+    distributed prefix-sum as `pack_sequences`: one tiny per-partition
+    count groupby → exclusive offsets (O(P) driver state; recursive at
+    10^12 rows), then an in-partition sort by (hash, doc_id). No global
+    sort of the corpus; the only shuffle is the coarse range groupby. The
+    SQL oracle replays the identical fmix32 pipeline and ranks with a
+    window — a full cross-engine check of mixer + ordering."""
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import fmix32
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = fmix32(ids, seed=seed).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "part": pa.array(h >> (32 - log2_parts), pa.int64()),
+        })
+
+    hds = _docs(sf_dir, ["doc_id"]).map_batches(hashed, batch_format="pyarrow")
+    counts = hds.groupby("part").aggregate(Count(alias_name="n")).take_all()
+    counts.sort(key=lambda r: r["part"])
+    offsets, run = {}, 0
+    for r in counts:
+        offsets[int(r["part"])] = run
+        run += int(r["n"])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        base = offsets[int(h[0]) >> (32 - log2_parts)]
+        rank = base + np.arange(len(ids), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "rank": pa.array(rank, pa.int64())})
+
+    return hds.groupby("part").map_groups(per_part, batch_format="pyarrow") \
+        .select_columns(["doc_id", "rank"])
+
+
+def _sql_shuffle_rank() -> str:
+    from ..functions.hashing import sql_hash_sample
+
+    inner = sql_hash_sample("documents", "doc_id", 1.0, seed=42,
+                            select="doc_id, _h5 AS h")
+    return (f"SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) - 1 "
+            f"AS rank FROM ({inner})")
+
+
 CORPUS_QUERIES = {
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
@@ -724,6 +784,7 @@ CORPUS_QUERIES = {
     "bloom_delta": q_bloom_delta,
     "lsh_join": q_lsh_join,
     "events_sliding": q_events_sliding,
+    "shuffle_rank": q_shuffle_rank,
 }
 
 CORPUS_ORACLES = {
@@ -735,6 +796,7 @@ CORPUS_ORACLES = {
     "bloom_delta": SQL_BLOOM_DELTA,
     "lsh_join": SQL_LSH_JOIN,
     "events_sliding": SQL_EVENTS_SLIDING,
+    "shuffle_rank": _sql_shuffle_rank(),
 }
 
 # Merge into the main catalog here too, so the merge happens no matter

@@ -199,3 +199,38 @@ def test_events_sliding_hand(ray_session, tmp_path):
     assert out["2024-01-01 02:00:00"] == (3, 7.0)
     assert out["2024-01-01 03:00:00"] == (1, 4.0)
     assert out["2024-01-01 04:00:00"] == (1, 4.0)
+
+
+def test_prefix_sum_ops_partitioning_invariance(ray_session, mini_docs):
+    """shuffle_rank / pack_sequences claim retry/repartition stability:
+    the output must be identical however the input is blocked."""
+    from doppel_speller_ray.pipelines.queries_corpus import q_shuffle_rank
+
+    rows = [(i, " ".join(["w"] * (1 + i % 5))) for i in range(0, 40, 3)]
+    sf = mini_docs(rows)
+
+    def run(fn, **kw):
+        return sorted((r["doc_id"], tuple(sorted(r.items())))
+                      for r in fn(sf, **kw).take_all())
+
+    base_rank = run(q_shuffle_rank)
+    base_pack = run(q_pack_sequences, budget=7, range_width=4)
+
+    # re-run with the input fragmented into many tiny blocks — patch the
+    # BINDING queries_corpus actually calls (it imported _docs by name)
+    import ray.data as rd
+
+    import doppel_speller_ray.pipelines.queries_corpus as QC
+
+    orig = QC._docs
+    try:
+        QC._docs = lambda sf_dir, columns=None: rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=columns,
+            override_num_blocks=7)
+        assert run(q_shuffle_rank) == base_rank
+        assert run(q_pack_sequences, budget=7, range_width=4) == base_pack
+    finally:
+        QC._docs = orig
+    # ranks are a permutation 0..n-1
+    ranks = sorted(dict(dict(x[1]))["rank"] for x in base_rank)
+    assert ranks == list(range(len(base_rank)))
