@@ -775,6 +775,75 @@ def _sql_shuffle_rank() -> str:
             f"AS rank FROM ({inner})")
 
 
+# ---------------------------------------------------------------------------
+# Incremental delta-ingest clustering — oracled end-to-end
+# ---------------------------------------------------------------------------
+
+def q_incremental_clusters(sf_dir: str):
+    """Delta-ingest dedup END-TO-END (`pipelines/incremental.py`): the base
+    state is built by the full pipeline over salted originals + exact
+    copies (+1e6), persisted, then a DELTA of salted 1-edit misspellings
+    (+2e6, raw len ≥ 60) is clustered against it WITHOUT re-shuffling the
+    base. The planted-salt argument (see `minhash_lsh_clusters`) makes the
+    final partition closed-form — every variant clusters to its base
+    doc_id — so the SAME SQL oracle certifies the full-run and the
+    incremental-run paths produce the identical assignment. State lives in
+    a per-call /tmp dir; the result is materialized before cleanup."""
+    import shutil
+    import tempfile
+
+    from ..functions.misspell import misspell
+    from .dedup import dedup_pipeline
+    from .incremental import incremental_dedup, save_dedup_state
+    from .queries import _QCFG, _planted_guard, _salt
+
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def mk_base(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        _planted_guard(ids)
+        texts = t["text"].to_pylist()
+        out_i, out_t = [], []
+        for i, x in zip(ids, texts):
+            s = _salt(i)
+            out_i.extend([i, i + 1_000_000])
+            out_t.extend([f"{s} {x}", f"{s} {x}"])
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    def mk_delta(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        _planted_guard(ids)
+        texts = t["text"].to_pylist()
+        out_i, out_t = [], []
+        for i, x in zip(ids, texts):
+            if len(x) >= 60:
+                out_i.append(i + 2_000_000)
+                out_t.append(
+                    f"{_salt(i)} {misspell(x, 10_000 + i, n_perturbations=1)}")
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    state_dir = tempfile.mkdtemp(prefix="graft_incr_state_", dir="/tmp")
+    try:
+        res = dedup_pipeline(base.map_batches(mk_base, batch_format="pyarrow"),
+                             _QCFG)
+        save_dedup_state(res, _QCFG, state_dir)
+        inc = incremental_dedup(
+            state_dir, base.map_batches(mk_delta, batch_format="pyarrow"),
+            _QCFG)
+        return inc.clusters.materialize()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+SQL_INCREMENTAL_CLUSTERS = """
+SELECT doc_id, doc_id AS cluster_id FROM documents
+UNION ALL SELECT doc_id + 1000000, doc_id FROM documents
+UNION ALL SELECT doc_id + 2000000, doc_id FROM documents WHERE length(text) >= 60
+"""
+
+
 CORPUS_QUERIES = {
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
@@ -785,6 +854,7 @@ CORPUS_QUERIES = {
     "lsh_join": q_lsh_join,
     "events_sliding": q_events_sliding,
     "shuffle_rank": q_shuffle_rank,
+    "incremental_clusters": q_incremental_clusters,
 }
 
 CORPUS_ORACLES = {
@@ -797,6 +867,7 @@ CORPUS_ORACLES = {
     "lsh_join": SQL_LSH_JOIN,
     "events_sliding": SQL_EVENTS_SLIDING,
     "shuffle_rank": _sql_shuffle_rank(),
+    "incremental_clusters": SQL_INCREMENTAL_CLUSTERS,
 }
 
 # Merge into the main catalog here too, so the merge happens no matter

@@ -164,6 +164,10 @@ class MatcherActor:
         out_idx = np.empty(len(batch), dtype=np.int64)
         out_tid = np.empty(len(batch), dtype=np.int64)
         out_pred = np.empty(len(batch), dtype=np.float32)
+        out_lev = np.zeros(len(batch), dtype=np.int16)  # gated ratio of the
+        # emitted candidate (exact=100, lev/model tiers: its chain value;
+        # not_found: tier-2 best seen) — lets callers sweep HYBRID accept
+        # rules (p OR strong-Levenshtein) offline from one threshold-0 run
         tiers: list[str] = []
 
         for i in range(len(batch)):
@@ -174,6 +178,7 @@ class MatcherActor:
             if tid is not None:
                 out_tid[i] = tid
                 out_pred[i] = 1.0
+                out_lev[i] = 100
                 tiers.append("exact")
                 continue
             # tier 2: IDF-Jaccard top-k + gated Levenshtein (predict.py:122-176)
@@ -188,6 +193,7 @@ class MatcherActor:
                     best_ratio, best_tid, n_at_best = r, int(self.index.title_ids[t]), 1
                 elif r == best_ratio and r > 0:
                     n_at_best += 1
+            out_lev[i] = best_ratio
             if best_ratio > self.cfg.lev_threshold and n_at_best == 1:
                 out_tid[i] = best_tid
                 out_pred[i] = 1.0
@@ -208,6 +214,7 @@ class MatcherActor:
                         and (p == p[best]).sum() == 1):
                     out_tid[i] = int(self.index.title_ids[mk[best]])
                     out_pred[i] = float(p[best])
+                    out_lev[i] = self._gated_ratio(norm, truths[best])
                     tiers.append("model")
                     continue
             out_tid[i] = nf
@@ -218,5 +225,6 @@ class MatcherActor:
             "test_index": pa.array(out_idx, pa.int64()),
             "title_id": pa.array(out_tid, pa.int64()),
             "prediction": pa.array(out_pred, pa.float32()),
+            "lev_best": pa.array(out_lev, pa.int16()),
             "tier": pa.array(tiers, pa.string()),
         })

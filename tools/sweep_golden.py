@@ -26,15 +26,20 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ART = os.path.join(ROOT, "artifacts", "pair_model_example.pickle")
 
 THRESHOLDS = [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.85, 0.9, 0.95]
+# hybrid rule second axis: accept a model-tier row regardless of p when its
+# candidate's gated Levenshtein ratio ≥ lev_floor (101 = hybrid off). The
+# matcher emits lev_best precisely so this is sweepable offline.
+LEV_FLOORS = [101, 96, 94, 92, 90, 88, 85, 80]
 
 
 def sweep_counts(rows: list[dict], act: dict[int, int], nf: int,
-                 threshold: float) -> dict:
+                 threshold: float, lev_floor: int = 101) -> dict:
     correct = wrong = correct_nf = wrong_nf = 0
     pred = {}
     for r in rows:
         tid = r["title_id"]
-        if r["tier"] == "model" and r["prediction"] <= threshold:
+        if (r["tier"] == "model" and r["prediction"] <= threshold
+                and r.get("lev_best", 0) < lev_floor):
             tid = nf
         pred[r["test_index"]] = tid
     for ti, a in act.items():
@@ -51,7 +56,8 @@ def sweep_counts(rows: list[dict], act: dict[int, int], nf: int,
                 wrong_nf += 1
             else:
                 wrong += 1
-    return {"threshold": threshold, "correctly_matched": correct,
+    return {"threshold": threshold, "lev_floor": lev_floor,
+            "correctly_matched": correct,
             "incorrectly_matched": wrong, "correctly_not_found": correct_nf,
             "incorrectly_not_found": wrong_nf,
             "custom_error": wrong_nf + 5 * wrong}
@@ -96,11 +102,12 @@ def main() -> None:
         rows = preds.take_all()
         dt = time.perf_counter() - t0
         for th in THRESHOLDS:
-            rep = sweep_counts(rows, act, cfg.not_found_value, th)
-            rep["model_top_k"] = top_k
-            rep["match_seconds"] = round(dt, 1)
-            results.append(rep)
-            print(json.dumps(rep))
+            for lf in LEV_FLOORS:
+                rep = sweep_counts(rows, act, cfg.not_found_value, th, lf)
+                rep["model_top_k"] = top_k
+                rep["match_seconds"] = round(dt, 1)
+                results.append(rep)
+                print(json.dumps(rep))
 
     # the dominating point: correct ≥ 5900 AND error < 633, minimal error;
     # fall back to global min error if no point reaches 5900
