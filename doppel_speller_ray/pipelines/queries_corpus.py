@@ -177,8 +177,11 @@ def q_decontaminate(sf_dir: str, n: int = 5):
         snips = ray.get(snip_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         texts = pc.fill_null(t["text"], "").to_pylist()
-        aug = [txt + " " + snips[int(i) - int(i) % 20]
-               if i % 10 == 3 else txt
+        # missing benchmark doc (non-contiguous ids) → text unmodified,
+        # matching the oracle's `b.text IS NOT NULL` guard
+        aug = [txt + " " + snips[k]
+               if i % 10 == 3 and (k := int(i) - int(i) % 20) in snips
+               else txt
                for i, txt in zip(ids, texts)]
         idx, g = word_ngram_hashes(pa.array(aug, pa.string()), n, seed=0)
         gi = g.view(np.int64)
@@ -202,7 +205,7 @@ SQL_DECONTAMINATE = """
 WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
 aug AS (
   SELECT d.doc_id,
-         CASE WHEN d.doc_id % 10 = 3 THEN d.text || ' ' ||
+         CASE WHEN d.doc_id % 10 = 3 AND b.text IS NOT NULL THEN d.text || ' ' ||
               array_to_string(string_split_regex(trim(b.text), '\\s+')[1:5], ' ')
               ELSE d.text END AS text
   FROM documents d
@@ -479,6 +482,7 @@ def q_bloom_delta(sf_dir: str, m_bits: int = 1 << 20, k_hashes: int = 4):
     from ..functions.normalize import normalize_array
     from .queries import _QCFG
 
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
     docs = _docs(sf_dir, ["doc_id", "text"])
 
     planted_rows = _mod_filter(docs, 20, (1,)).take_all()
@@ -525,6 +529,15 @@ def q_bloom_delta(sf_dir: str, m_bits: int = 1 << 20, k_hashes: int = 4):
         pl = ray.get(planted_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         texts = pc.fill_null(t["text"], "").to_pylist()
+        # planted source (doc_id+1) missing → the oracle's LEFT JOIN makes
+        # the delta text NULL, whose NOT IN is NULL → row excluded; drop
+        # the row here to match (degenerate, only on non-contiguous ids)
+        keep = np.array([not (i % 20 == 0 and int(i) + 1 not in pl)
+                         for i in ids], bool)
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+            ids = ids[keep]
+            texts = [x for x, k in zip(texts, keep) if k]
         eff = [pl[int(i) + 1] if i % 20 == 0 else txt
                for i, txt in zip(ids, texts)]
         h = hash_strings(
