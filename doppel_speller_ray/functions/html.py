@@ -80,6 +80,40 @@ def extract_text_array(html: pa.Array | pa.ChunkedArray) -> pa.Array | pa.Chunke
     return pc.utf8_trim(s, characters=" ")
 
 
+#: anchor-href split token shared by the Arrow extractor and the SQL
+#: oracle's ``regexp_extract_all(html, '<a href="([^"]+)"', 1)``
+_HREF_OPEN = '<a href="'
+
+
+def extract_links_flat(html: pa.Array | pa.ChunkedArray):
+    """Vectorized href extraction: ``(urls, doc_idx)`` — one output row per
+    ``<a href="...">`` occurrence, in document order.
+
+    No per-row Python: ``split_pattern`` on the literal ``<a href="`` turns
+    each page into a list whose elements 1..n-1 each START with an href
+    value; the list is flattened through its offsets buffer, each list's
+    element 0 (the pre-link prefix) is masked out, and one RE2
+    ``extract_regex`` takes the leading run up to the closing quote.
+    ``doc_idx`` indexes back into the input batch (np.repeat over list
+    lengths), so callers can attach any per-page column to the flat edges.
+    """
+    import numpy as np
+
+    s = decode_utf8_array(html)
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    parts = pc.split_pattern(s, pattern=_HREF_OPEN)
+    offsets = np.asarray(parts.offsets)
+    lens = np.diff(offsets)
+    keep = np.ones(len(parts.values), dtype=bool)
+    keep[offsets[:-1][lens > 0]] = False  # drop each list's first element
+    doc_idx = np.repeat(np.arange(len(s), dtype=np.int64), lens)[keep]
+    frags = parts.values.filter(pa.array(keep))
+    urls = pc.struct_field(
+        pc.extract_regex(frags, pattern='^(?P<u>[^"]*)'), "u")
+    return urls, doc_idx
+
+
 def collapse_ws_array(text: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
     """``\\s+`` → single space + ASCII-space trim (steps 6 only) — the
     expected value of ``extract(wrap(escape(text)))``."""

@@ -2098,3 +2098,11 @@ except ImportError:
     # imports helpers from this module); its own tail merges into the
     # QUERIES/ORACLES dicts instead.
     pass
+
+try:
+    from .queries_web import WEB_ORACLES, WEB_QUERIES  # noqa: E402
+
+    QUERIES.update(WEB_QUERIES)
+    ORACLES.update(WEB_ORACLES)
+except ImportError:
+    pass  # same mid-initialization convention as queries_corpus above

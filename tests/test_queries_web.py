@@ -1,0 +1,100 @@
+"""Web-graph tier units: link extraction edge cases (`functions/html.py:
+extract_links_flat`) and hand-computed checks for the packed ts-argmax and
+the per-batch TF-IDF top-k kernel. The full Ray-vs-DuckDB parity for all
+four `queries_web` entries runs in test_queries_oracle.py (auto-collected
+from the catalog)."""
+
+import numpy as np
+import pyarrow as pa
+
+from doppel_speller_ray.functions.html import extract_links_flat
+
+
+def test_extract_links_basic_and_order():
+    html = pa.array([
+        '<p>x</p><a href="https://a.com/1">t</a> mid <a href="http://b.org/2">u</a>',
+        "no links here",
+        '<a href="https://c.net">lead</a>',
+    ])
+    urls, doc_idx = extract_links_flat(html)
+    assert urls.to_pylist() == ["https://a.com/1", "http://b.org/2",
+                                "https://c.net"]
+    assert doc_idx.tolist() == [0, 0, 2]
+
+
+def test_extract_links_unterminated_and_empty():
+    html = pa.array([
+        '<a href="https://no-close-quote.com/x>t</a>',  # no closing quote
+        '<a href="">empty</a>',
+        "",
+    ])
+    urls, doc_idx = extract_links_flat(html)
+    # unterminated href: [^"]* runs to end of fragment (still one link row)
+    assert urls[0].as_py().startswith("https://no-close-quote.com/x")
+    assert urls[1].as_py() == ""
+    assert doc_idx.tolist() == [0, 1]
+
+
+def test_extract_links_binary_input():
+    html = pa.array([b'<a href="https://bin.example/z">b</a>'], pa.binary())
+    urls, doc_idx = extract_links_flat(html)
+    assert urls.to_pylist() == ["https://bin.example/z"]
+    assert doc_idx.tolist() == [0]
+
+
+def test_url_dedup_packed_argmax_picks_latest():
+    """The packed (ts << 32 | id) max must select the capture with the
+    greatest pseudo-ts, and break exact-ts ties by the greater doc_id."""
+    from doppel_speller_ray.pipelines.queries_web import (
+        _ID_SPAN, _TS_MOD, _TS_MULT)
+
+    ids = np.array([5, 102, 587], dtype=np.int64)  # all % 97 == 5
+    keys = (ids * _TS_MULT) % _TS_MOD * _ID_SPAN + ids
+    winner = ids[np.argmax(keys)]
+    ts = (ids * _TS_MULT) % _TS_MOD
+    assert winner == ids[np.lexsort((ids, ts))[-1]]
+    assert int(max(keys)) % _ID_SPAN == winner
+
+
+def test_gopher_rules_hand_case(ray_session, tmp_path):
+    """A 60-word alpha doc passes; a 10-word doc fails the min-words rule;
+    both get exact hand-computable stats."""
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.queries_web import q_gopher_quality
+
+    good = " ".join(["the", "cat", "sat", "have", "with"] * 12)  # 60 words
+    bad = "zz " * 10
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array([good, bad])})
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = q_gopher_quality(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_words"] == 60
+    assert bool(out.loc[1, "passes"]) is True
+    assert out.loc[1, "stop_hits"] == 36  # (the, have, with) × 12
+    assert out.loc[2, "n_words"] == 10
+    assert bool(out.loc[2, "passes"]) is False
+    assert out.loc[2, "alpha_frac"] == 1.0
+
+
+def test_tfidf_topk_hand_case(ray_session, tmp_path):
+    """Three tiny docs: the word unique to one doc must outrank the common
+    word, with the (score DESC, word ASC) tiebreak."""
+    import pyarrow.parquet as pq
+
+    from doppel_speller_ray.pipelines.queries_web import q_tfidf_topk
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["apple banana", "apple cherry", "apple apple"]),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = q_tfidf_topk(str(tmp_path), k=1).to_pandas().set_index("doc_id")
+    # idf(apple)=ln(3/3)=0, idf(banana)=idf(cherry)=ln(3)>0
+    assert out.loc[1, "word"] == "banana"
+    assert out.loc[2, "word"] == "cherry"
+    # doc 3 has only apple: score 2*0=0, still emitted as its top term
+    assert out.loc[3, "word"] == "apple" and out.loc[3, "score"] == 0.0
+    assert (out["rank"] == 1).all()
