@@ -52,7 +52,7 @@ def match_pipeline(test_ds, truth_ds, cfg: MatchConfig = MatchConfig(), *,
                    test_id_col: str = "test_index", test_text_col: str = "title",
                    truth_id_col: str = "title_id", truth_text_col: str = "title",
                    model=None, model_top_k: int = 10):
-    """Returns Dataset (test_index, title_id, prediction, lev_best, tier)
+    """Returns Dataset (test_index, title_id, prediction, lev_best, p_margin, tier)
     sorted by test_index; title_id = −1 where no match (predict.py:256-272).
 
     ``model``: optional tier-3 pair verifier (any object with

@@ -168,6 +168,9 @@ class MatcherActor:
         # emitted candidate (exact=100, lev/model tiers: its chain value;
         # not_found: tier-2 best seen) — lets callers sweep HYBRID accept
         # rules (p OR strong-Levenshtein) offline from one threshold-0 run
+        out_margin = np.zeros(len(batch), dtype=np.float32)  # model tier:
+        # p(top1) − p(top2) — the ranker's own disambiguation confidence,
+        # a third offline-sweepable axis (exact/lev tiers: 1.0)
         tiers: list[str] = []
 
         for i in range(len(batch)):
@@ -179,6 +182,7 @@ class MatcherActor:
                 out_tid[i] = tid
                 out_pred[i] = 1.0
                 out_lev[i] = 100
+                out_margin[i] = 1.0
                 tiers.append("exact")
                 continue
             # tier 2: IDF-Jaccard top-k + gated Levenshtein (predict.py:122-176)
@@ -197,6 +201,7 @@ class MatcherActor:
             if best_ratio > self.cfg.lev_threshold and n_at_best == 1:
                 out_tid[i] = best_tid
                 out_pred[i] = 1.0
+                out_margin[i] = 1.0
                 tiers.append("lev")
                 continue
             # tier 3: model verifier over the top candidates
@@ -215,6 +220,11 @@ class MatcherActor:
                     out_tid[i] = int(self.index.title_ids[mk[best]])
                     out_pred[i] = float(p[best])
                     out_lev[i] = self._gated_ratio(norm, truths[best])
+                    if len(p) > 1:
+                        out_margin[i] = float(
+                            p[best] - np.partition(p, -2)[-2])
+                    else:
+                        out_margin[i] = float(p[best])
                     tiers.append("model")
                     continue
             out_tid[i] = nf
@@ -226,5 +236,6 @@ class MatcherActor:
             "title_id": pa.array(out_tid, pa.int64()),
             "prediction": pa.array(out_pred, pa.float32()),
             "lev_best": pa.array(out_lev, pa.int16()),
+            "p_margin": pa.array(out_margin, pa.float32()),
             "tier": pa.array(tiers, pa.string()),
         })
