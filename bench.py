@@ -114,7 +114,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "normalize", "word_df", "ngram_df", "exact_text_groups",
         "token_count", "simhash", "fingerprint", "lineitem_agg",
         "events_hourly", "ann_topk", "extract_text", "boilerplate",
-        "pii_redact", "line_dedup", "pack_sequences"))
+        "pii_redact", "line_dedup", "pack_sequences",
+        "url_dedup_latest", "link_graph", "gopher_quality", "tfidf_topk"))
     secondary["simhash"] = Q.q_simhash_values
     secondary["fingerprint"] = Q.q_fingerprint_values
     for name, fn in secondary.items():
