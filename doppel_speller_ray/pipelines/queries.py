@@ -2082,6 +2082,119 @@ QUERIES["top_words_per_lang"] = q_top_words_per_lang
 ORACLES["top_words_per_lang"] = SQL_TOP_WORDS_PER_LANG
 
 
+def q_weighted_sample(sf_dir: str, k: int = 100, seed: int = 7):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-Res): key = ln(u)/w with u the fmix32-derived uniform in
+    (0,1) and w = n_chars; the k largest keys are a weight-proportional
+    sample. Same determinism contract as `sample_fraction`: membership
+    depends only on (doc_id, seed, weight) — retry/repartition/resume-
+    stable, and the key formula replays exactly in SQL.
+
+    Scale shape: each batch prunes locally to its top-k (argpartition), so
+    the global sort sees ≤ k·n_batches rows, never the corpus; the corpus
+    itself streams through one stateless map."""
+    from ..functions.hashing import fmix32
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = np.maximum(
+            t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64), 1.0)
+        u = (fmix32(ids, seed=seed).astype(np.float64) + 0.5) / 2**32
+        key = np.log(u) / w
+        idx = (np.argpartition(key, -k)[-k:] if len(key) > k
+               else np.arange(len(key)))
+        sel = pa.array(idx, pa.int64())
+        return pa.table({"doc_id": t["doc_id"].take(sel),
+                         "n_chars": t["n_chars"].take(sel),
+                         "es_key": pa.array(key[idx], pa.float64())})
+
+    top = _docs(sf_dir, ["doc_id", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .sort("es_key", descending=True).limit(k)
+    return top.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "n_chars": t["n_chars"],
+            "es_key": pa.array(
+                _round6_half_up(t["es_key"].to_numpy(zero_copy_only=False)),
+                pa.float64()),
+        }), batch_format="pyarrow")
+
+
+def _sql_weighted_sample(k: int = 100, seed: int = 7) -> str:
+    from ..functions.hashing import sql_hash_sample
+
+    inner = sql_hash_sample("documents", "doc_id", 1.0, seed=seed,
+                            select="doc_id, n_chars, _h5")
+    key = "ln((_h5 + 0.5) / 4294967296) / greatest(n_chars, 1)"
+    return f"""
+SELECT doc_id, n_chars,
+       floor({key} * 1000000 + 0.5) / 1000000 AS es_key
+FROM ({inner})
+ORDER BY {key} DESC LIMIT {k}
+"""
+
+
+QUERIES["weighted_sample"] = q_weighted_sample
+ORACLES["weighted_sample"] = _sql_weighted_sample()
+
+
+def q_rollup_qty(sf_dir: str):
+    """Multi-granularity aggregate (rollup (returnflag, linestatus) →
+    (returnflag) → grand total) in ONE shuffle: each batch pre-aggregates
+    ALL THREE levels locally (the coarser partials derive from the finest
+    inside the batch), tagging rows with lvl + 'ALL' sentinels, so a
+    single composite-key groupby finishes every level — vs the naive
+    three-scan / three-shuffle GROUPING SETS plan. l_quantity is integral
+    in double, so the sums are exact in both engines (no rounding rule
+    needed)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.select(["l_returnflag", "l_linestatus", "l_quantity"]).to_pandas()
+        g2 = df.groupby(["l_returnflag", "l_linestatus"], as_index=False) \
+               .agg(qty_part=("l_quantity", "sum"))
+        g2["lvl"] = 2
+        g1 = g2.groupby("l_returnflag", as_index=False)["qty_part"].sum()
+        g1["l_linestatus"] = "ALL"
+        g1["lvl"] = 1
+        g0 = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                           "qty_part": [g2["qty_part"].sum()], "lvl": [0]})
+        out = pd.concat([g2, g1, g0], ignore_index=True)
+        return pa.Table.from_pandas(
+            out[["lvl", "l_returnflag", "l_linestatus", "qty_part"]],
+            preserve_index=False)
+
+    agg = _read(sf_dir, "lineitem",
+                ["l_returnflag", "l_linestatus", "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lvl", "l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("qty_part", alias_name="sum_qty"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "lvl": pc.cast(t["lvl"], pa.int64()),
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.cast(t["sum_qty"], pa.float64()),
+        }), batch_format="pyarrow")
+
+
+SQL_ROLLUP_QTY = """
+SELECT CAST(2 AS BIGINT) AS lvl, l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+UNION ALL
+SELECT CAST(1 AS BIGINT), l_returnflag, 'ALL', sum(l_quantity)
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT CAST(0 AS BIGINT), 'ALL', 'ALL', sum(l_quantity) FROM lineitem
+"""
+
+QUERIES["rollup_qty"] = q_rollup_qty
+ORACLES["rollup_qty"] = SQL_ROLLUP_QTY
+
+
 # ---------------------------------------------------------------------------
 # LLM-corpus tier (PII scrub / decontamination / line dedup / packing /
 # domain stats / delta anti-join) — see pipelines/queries_corpus.py.

@@ -98,3 +98,46 @@ def test_tfidf_topk_hand_case(ray_session, tmp_path):
     # doc 3 has only apple: score 2*0=0, still emitted as its top term
     assert out.loc[3, "word"] == "apple" and out.loc[3, "score"] == 0.0
     assert (out["rank"] == 1).all()
+
+
+def test_weighted_sample_matches_bruteforce(ray_session, tmp_path):
+    """Top-k A-Res selection must equal the brute-force key ranking."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from doppel_speller_ray.functions.hashing import fmix32
+    from doppel_speller_ray.pipelines.queries import q_weighted_sample
+
+    ids = np.arange(1, 401, dtype=np.int64)
+    chars = (ids % 37 + 1) * 10
+    tbl = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(chars)})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = q_weighted_sample(str(tmp_path), k=25, seed=7).to_pandas()
+    u = (fmix32(ids, seed=7).astype(np.float64) + 0.5) / 2**32
+    key = np.log(u) / np.maximum(chars.astype(np.float64), 1.0)
+    expect = set(ids[np.argsort(key)[-25:]])
+    assert set(out.doc_id) == expect
+    assert len(out) == 25
+    # keys descend with rank (output is the sorted top-k)
+    assert (np.diff(out.es_key.to_numpy()) <= 1e-12).all()
+
+
+def test_rollup_qty_hand_case(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from doppel_speller_ray.pipelines.queries import q_rollup_qty
+
+    tbl = pa.table({
+        "l_returnflag": pa.array(["A", "A", "R", "R", "R"]),
+        "l_linestatus": pa.array(["F", "O", "F", "F", "O"]),
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+    })
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    out = q_rollup_qty(str(tmp_path)).to_pandas()
+    rows = {(r.lvl, r.l_returnflag, r.l_linestatus): r.sum_qty
+            for r in out.itertuples()}
+    assert rows[(2, "A", "F")] == 1 and rows[(2, "A", "O")] == 2
+    assert rows[(2, "R", "F")] == 7 and rows[(2, "R", "O")] == 5
+    assert rows[(1, "A", "ALL")] == 3 and rows[(1, "R", "ALL")] == 12
+    assert rows[(0, "ALL", "ALL")] == 15
+    assert len(out) == 7
