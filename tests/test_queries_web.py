@@ -141,3 +141,56 @@ def test_rollup_qty_hand_case(ray_session, tmp_path):
     assert rows[(1, "A", "ALL")] == 3 and rows[(1, "R", "ALL")] == 12
     assert rows[(0, "ALL", "ALL")] == 15
     assert len(out) == 7
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis) — kernel vs pure-Python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ref_links(pages: list[str]) -> list[tuple[int, str]]:
+    import re
+
+    out = []
+    for i, s in enumerate(pages):
+        for m in re.finditer(r'<a href="([^"]*)', s):
+            out.append((i, m.group(1)))
+    return out
+
+
+@given(st.lists(st.text(alphabet='ab<>"/:=. href', max_size=60), max_size=12))
+@settings(max_examples=150, deadline=None)
+def test_extract_links_matches_re_reference(pages):
+    """Arbitrary tag soup: the Arrow split-flatten extraction must equal a
+    re.finditer reference, including order and doc attribution.
+
+    Caveat encoded here: the extractor splits on the literal '<a href="',
+    so OVERLAPPING occurrences (impossible in real HTML, where matches are
+    separated by the closing quote) are consumed left-to-right exactly as
+    re.finditer does — the two semantics agree."""
+    urls, idx = extract_links_flat(pa.array(pages, pa.string()))
+    got = list(zip(idx.tolist(), urls.to_pylist()))
+    assert got == _ref_links(pages)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**31), min_size=1,
+                max_size=50),
+       st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=100, deadline=None)
+def test_weighted_key_in_range_and_deterministic(ids, seed):
+    """A-Res keys are finite, strictly negative (u<1), and reproducible."""
+    import numpy as np
+
+    from doppel_speller_ray.functions.hashing import fmix32
+
+    arr = np.array(ids, dtype=np.int64)
+    u = (fmix32(arr, seed=seed).astype(np.float64) + 0.5) / 2**32
+    assert ((u > 0) & (u < 1)).all()
+    w = np.maximum((arr % 1000).astype(np.float64), 1.0)
+    key = np.log(u) / w
+    assert np.isfinite(key).all() and (key < 0).all()
+    u2 = (fmix32(arr.copy(), seed=seed).astype(np.float64) + 0.5) / 2**32
+    assert (u == u2).all()
