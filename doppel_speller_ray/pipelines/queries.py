@@ -1986,6 +1986,65 @@ QUERIES["length_quantiles"] = q_length_quantiles
 ORACLES["length_quantiles"] = SQL_LENGTH_QUANTILES
 
 
+def q_quantiles_by_lang(sf_dir: str,
+                        ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9)):
+    """Per-GROUP exact quantiles (doc-length quartiles per language) — the
+    grouped variant of `q_length_quantiles`: per-batch (lang, value)
+    partials, ONE groupby-sum over (lang, value) rows (cardinality =
+    langs × distinct lengths, corpus-independent), nearest-rank selection
+    vectorized over the collected histogram. Same lower-nearest-rank
+    definition as the global query, applied per partition key."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.select(["lang", "n_chars"]).to_pandas()
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "v": pa.array(g["n_chars"].astype("int64")),
+                         "cnt": pa.array(g["size"].astype("int64"))})
+
+    hist = _docs(sf_dir, ["lang", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "v"]).aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()  # bounded: langs × distinct lengths
+    hist = hist.sort_values(["lang", "v"])
+    out_lang, out_p, out_q = [], [], []
+    for lang, g in hist.groupby("lang", sort=True):
+        vals = g["v"].to_numpy()
+        run = g["cnt"].to_numpy().cumsum()
+        n = int(run[-1])
+        for p in ps:
+            rank = max(1, math.ceil(p * n))
+            out_lang.append(lang)
+            out_p.append(p)
+            out_q.append(int(vals[np.searchsorted(run, rank)]))
+    return pa.table({"lang": pa.array(out_lang, pa.string()),
+                     "p": pa.array(out_p, pa.float64()),
+                     "q": pa.array(out_q, pa.int64())})
+
+
+SQL_QUANTILES_BY_LANG = """
+WITH c AS (SELECT lang, n_chars AS v, count(*) AS cnt
+           FROM documents GROUP BY lang, v),
+t AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+r AS (SELECT c.lang, c.v,
+             sum(c.cnt) OVER (PARTITION BY c.lang ORDER BY c.v) AS run,
+             t.n
+      FROM c JOIN t USING (lang))
+SELECT r.lang, q.p, min(r.v) AS q
+FROM r, (VALUES (0.25), (0.5), (0.75), (0.9)) AS q(p)
+WHERE r.run >= ceil(q.p * r.n)
+GROUP BY r.lang, q.p
+"""
+
+QUERIES["quantiles_by_lang"] = q_quantiles_by_lang
+ORACLES["quantiles_by_lang"] = SQL_QUANTILES_BY_LANG
+
+
 def q_stratified_sample(sf_dir: str):
     """Stratified deterministic sampling: per-language fractions (en 10%,
     de 50%, fr 100%, others 0) with the same fmix32 hash gate as

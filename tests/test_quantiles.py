@@ -47,3 +47,23 @@ def test_duckdb_parity(ray_session):
     sdf = con.execute(q.ORACLES["length_quantiles"]).df() \
         .sort_values("p").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, sdf[out.columns], check_dtype=False)
+
+
+def test_quantiles_by_lang_hand_case(ray_session, tmp_path):
+    """Two langs with hand-computable nearest-rank quartiles."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doppel_speller_ray.pipelines.queries import q_quantiles_by_lang
+
+    tbl = pa.table({
+        "lang": pa.array(["en"] * 4 + ["de"] * 3),
+        "n_chars": pa.array([10, 20, 30, 40, 5, 6, 7], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = q_quantiles_by_lang(str(tmp_path), ps=(0.5, 0.75)).to_pandas()
+    got = {(r.lang, r.p): r.q for r in out.itertuples()}
+    # en n=4: rank ceil(.5*4)=2 → 20; ceil(.75*4)=3 → 30
+    assert got[("en", 0.5)] == 20 and got[("en", 0.75)] == 30
+    # de n=3: rank ceil(1.5)=2 → 6; ceil(2.25)=3 → 7
+    assert got[("de", 0.5)] == 6 and got[("de", 0.75)] == 7
