@@ -194,3 +194,42 @@ def test_weighted_key_in_range_and_deterministic(ids, seed):
     assert np.isfinite(key).all() and (key < 0).all()
     u2 = (fmix32(arr.copy(), seed=seed).astype(np.float64) + 0.5) / 2**32
     assert (u == u2).all()
+
+
+def test_web_tier_partitioning_invariance(ray_session, tmp_path):
+    """Identical rows whether documents arrives as ONE parquet file or as
+    a directory of 7 fragment files (different Ray block structure) — the
+    house invariance contract for every aggregate in the tier."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from doppel_speller_ray.pipelines.queries import q_weighted_sample
+    from doppel_speller_ray.pipelines.queries_web import (
+        q_gopher_quality, q_tfidf_topk, q_url_dedup_latest)
+
+    rng = np.random.default_rng(3)
+    n = 350
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(words, rng.integers(5, 40)))
+             for _ in range(n)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(1, n + 1), pa.int64()),
+                    "text": pa.array(texts),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(); (many / "documents.parquet").mkdir(parents=True)
+    pq.write_table(tbl, one / "documents.parquet")
+    for i in range(7):
+        pq.write_table(tbl.slice(i * 50, 50),
+                       many / "documents.parquet" / f"part-{i}.parquet")
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df[sorted(df.columns)].sort_values(
+            sorted(df.columns)).reset_index(drop=True)
+
+    for fn in (q_url_dedup_latest, q_gopher_quality, q_tfidf_topk,
+               q_weighted_sample):
+        a, b = canon(fn(str(one))), canon(fn(str(many)))
+        pd.testing.assert_frame_equal(a, b), fn.__name__
