@@ -190,11 +190,56 @@ _EMPTY_SUBSTR = pa.table({
 })
 
 
+def _certify_arrays(lid: np.ndarray, rid: np.ndarray,
+                    left_texts, right_texts) -> tuple[np.ndarray, np.ndarray]:
+    """Per-pair exact-substring certification kernel: is the shorter text a
+    substring of the longer? CPython's two-way (Crochemore–Perrin) ``str``
+    search — O(n+m) worst case, the same asymptotics a per-pair suffix
+    automaton would give without its construction constant."""
+    is_sub = np.zeros(len(lid), dtype=bool)
+    contained = np.full(len(lid), -1, dtype=np.int64)
+    for i in range(len(lid)):
+        a, b = left_texts[i], right_texts[i]
+        if len(a) <= len(b):
+            short_txt, short_id = a, lid[i]
+            long_txt = b
+        else:
+            short_txt, short_id = b, rid[i]
+            long_txt = a
+        if short_txt and short_txt in long_txt:
+            is_sub[i] = True
+            contained[i] = short_id
+    return is_sub, contained
+
+
+def _pack_text_payload(*tables):
+    """Collect docs blocks into (sorted ids, permutation, flat utf8 buffer,
+    offsets) — the text-only sibling of verify._build_payload_arrays. Runs
+    as a Ray TASK so the corpus payload never transits the driver; every
+    certify task reads the result zero-copy from the object store."""
+    from ..functions.hashing import _string_buffers
+
+    tables = [t.select(["doc_id", "norm_text"]) for t in tables if t.num_rows]
+    if not tables:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.uint8), np.zeros(1, np.int64))
+    tbl = pa.concat_tables(tables, promote_options="none")
+    raw_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    perm = np.argsort(raw_ids)
+    ids = raw_ids[perm]
+    tcol = tbl["norm_text"].combine_chunks()
+    if pa.types.is_large_string(tcol.type):
+        tcol = tcol.cast(pa.string())
+    tdata, toff = _string_buffers(tcol)
+    return ids, perm, tdata, toff
+
+
 def substring_containment_pairs(docs_ds, *, min_candidate_containment: float = 0.35,
                                 k: int = 8, w: int = 16, seed: int = 42,
                                 max_df: int = 64, min_fps: int = 4,
                                 num_partitions: int | None = None,
-                                drop_counter=None):
+                                drop_counter=None,
+                                broadcast_max_bytes: int = 1 << 30):
     """Containment with EXACT-substring certification (SURVEY.md §2.7 D6's
     "later milestone"; the north_star names a suffix-array substring stage).
 
@@ -203,25 +248,28 @@ def substring_containment_pairs(docs_ds, *, min_candidate_containment: float = 0
     pair can score ≈ 1. This stage generates candidates at a LOW fingerprint
     bar (``min_candidate_containment``, default 0.35 — any shared substring
     of length ≥ w+k−1 already guarantees shared fingerprints), attaches the
-    two texts by hash join (strings join fine in acero; no list payload),
-    and certifies each pair with a direct substring search of the shorter
-    text in the longer.
+    two texts, and certifies each pair with a direct substring search of the
+    shorter text in the longer (see :func:`_certify_arrays`).
 
-    The per-pair kernel is CPython's two-way (Crochemore–Perrin) ``str``
-    search — O(n+m) worst case, the same asymptotics a per-pair suffix
-    automaton would give without its construction constant; a shared suffix
-    ARRAY only pays when many queries probe one text, which the bucketed
-    candidate structure already avoids. Runs inside map_batches tasks, so
-    pairs verify in parallel across the pool.
+    Text attach uses the same measured broadcast-vs-join switch as the
+    flagship verify tier (pipelines/dedup.py): a docs payload below
+    ``broadcast_max_bytes`` is packed into flat numpy arrays by a Ray task
+    (:func:`_pack_text_payload`) and read zero-copy by every certify batch —
+    no hash-join aggregator actors at all, which removes the fragile
+    chained-join shuffle at small scale (the round-3 driver red row was a
+    HashShuffleAggregator startup death here). Above the threshold the
+    chained ``Dataset.join`` path runs, with ONE retry on
+    ``ray.exceptions.RayError`` actor/worker deaths.
 
     Returns (left_id, right_id, containment, is_substring, contained_id)
     where ``contained_id`` is the doc whose FULL text appears inside the
     other (−1 when is_substring is false — such pairs are fingerprint-
     overlap candidates that failed certification).
     """
-    from ..util import default_num_partitions
+    import ray
+    import ray.data as rd
 
-    from ..util import drop_empty_blocks
+    from ..util import default_num_partitions, drop_empty_blocks
 
     cand = containment_pairs(
         docs_ds, min_containment=min_candidate_containment, k=k, w=w,
@@ -232,10 +280,39 @@ def substring_containment_pairs(docs_ds, *, min_candidate_containment: float = 0
     # downstream hash join — filter them by ref (see util.drop_empty_blocks)
     cand = drop_empty_blocks(cand.materialize())
     if cand.count() == 0:
-        import ray.data as rd
-
         return rd.from_arrow(_EMPTY_SUBSTR)
 
+    payload = docs_ds.select_columns(["doc_id", "norm_text"]).materialize()
+
+    if (payload.size_bytes() or 0) <= broadcast_max_bytes:
+        # --- broadcast path: pack once (off-driver), look up per batch ----
+        build = ray.remote(num_cpus=1)(_pack_text_payload)
+        ref = build.remote(*payload.to_arrow_refs())
+
+        def certify_broadcast(t: pa.Table) -> pa.Table:
+            bids, bperm, btd, bto = ray.get(ref)
+            lid = t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rid = t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+            def texts(x: np.ndarray) -> list[str]:
+                pos = np.searchsorted(bids, x)
+                if len(bids) == 0 or (bids[np.minimum(pos, len(bids) - 1)] != x).any():
+                    raise KeyError("pair references unknown doc_id")
+                phys = bperm[pos]
+                return [btd[bto[p]: bto[p + 1]].tobytes().decode("utf-8")
+                        for p in phys]
+
+            is_sub, contained = _certify_arrays(lid, rid, texts(lid), texts(rid))
+            return pa.table({
+                "left_id": t["left_id"], "right_id": t["right_id"],
+                "containment": t["containment"],
+                "is_substring": pa.array(is_sub),
+                "contained_id": pa.array(contained, pa.int64()),
+            })
+
+        return cand.map_batches(certify_broadcast, batch_format="pyarrow")
+
+    # --- join path (payload too large to broadcast) -----------------------
     join_parts = default_num_partitions()
 
     def rename(side):
@@ -244,34 +321,11 @@ def substring_containment_pairs(docs_ds, *, min_candidate_containment: float = 0
                              f"{side}_text": t["norm_text"]})
         return fn
 
-    payload = docs_ds.select_columns(["doc_id", "norm_text"])
-    att = cand.join(
-        payload.map_batches(rename("left"), batch_format="pyarrow"),
-        join_type="inner", num_partitions=join_parts,
-        on=("left_id",), right_on=("left_id",))
-    att = att.join(
-        payload.map_batches(rename("right"), batch_format="pyarrow"),
-        join_type="inner", num_partitions=join_parts,
-        on=("right_id",), right_on=("right_id",))
-
     def certify(t: pa.Table) -> pa.Table:
         lid = t["left_id"].to_numpy(zero_copy_only=False)
         rid = t["right_id"].to_numpy(zero_copy_only=False)
-        lt = t["left_text"].to_pylist()
-        rt = t["right_text"].to_pylist()
-        is_sub = np.zeros(len(lid), dtype=bool)
-        contained = np.full(len(lid), -1, dtype=np.int64)
-        for i in range(len(lid)):
-            a, b = lt[i], rt[i]
-            if len(a) <= len(b):
-                short_txt, short_id = a, lid[i]
-                long_txt = b
-            else:
-                short_txt, short_id = b, rid[i]
-                long_txt = a
-            if short_txt and short_txt in long_txt:
-                is_sub[i] = True
-                contained[i] = short_id
+        is_sub, contained = _certify_arrays(
+            lid, rid, t["left_text"].to_pylist(), t["right_text"].to_pylist())
         return pa.table({
             "left_id": t["left_id"], "right_id": t["right_id"],
             "containment": t["containment"],
@@ -279,4 +333,23 @@ def substring_containment_pairs(docs_ds, *, min_candidate_containment: float = 0
             "contained_id": pa.array(contained, pa.int64()),
         })
 
-    return att.map_batches(certify, batch_format="pyarrow")
+    def run_join():
+        att = cand.join(
+            payload.map_batches(rename("left"), batch_format="pyarrow"),
+            join_type="inner", num_partitions=join_parts,
+            on=("left_id",), right_on=("left_id",))
+        att = att.join(
+            payload.map_batches(rename("right"), batch_format="pyarrow"),
+            join_type="inner", num_partitions=join_parts,
+            on=("right_id",), right_on=("right_id",))
+        # materialize the SMALL certified output (pair ids + flags) so a
+        # shuffle-aggregator actor death surfaces HERE, where the retry is
+        return att.map_batches(certify, batch_format="pyarrow").materialize()
+
+    try:
+        return run_join()
+    except ray.exceptions.RayError:
+        # one retry: join aggregator actor pools occasionally die at startup
+        # under churn (observed: HashShuffleAggregator "never ran"); the
+        # inputs are materialized so a rerun is cheap and deterministic
+        return run_join()

@@ -227,6 +227,28 @@ def test_substring_certification(ray_session):
     assert by_pair[(1, 4)]["contained_id"] == -1
 
 
+def test_substring_certification_join_path(ray_session):
+    """broadcast_max_bytes=0 forces the chained-hash-join attach (the
+    >threshold scale path); result must match the default broadcast path."""
+    import ray.data as rd
+
+    from doppel_speller_ray.stages.containment import substring_containment_pairs
+
+    words = [f"w{i:04d}x" for i in range(60)]
+    base = " ".join(words)
+    rows = [
+        {"doc_id": 1, "norm_text": base},
+        {"doc_id": 2, "norm_text": " ".join(words[:25])},
+        {"doc_id": 4, "norm_text": " ".join(
+            w if i != 30 else "zzzzz" for i, w in enumerate(words))},
+    ]
+    out = substring_containment_pairs(
+        rd.from_items(rows), broadcast_max_bytes=0).take_all()
+    by_pair = {(r["left_id"], r["right_id"]): r for r in out}
+    assert by_pair[(1, 2)]["is_substring"] and by_pair[(1, 2)]["contained_id"] == 2
+    assert (1, 4) in by_pair and not by_pair[(1, 4)]["is_substring"]
+
+
 def test_substring_certification_rejects_negatives(ray_session):
     """The planted-corpus oracle's negatives (+2M variants with 9-word
     shared runs) must appear as candidates and fail certification."""
