@@ -106,6 +106,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         best = min(best, time.perf_counter() - t0)
     timings["dedup_pipeline"] = best
 
+    # flagship + containment tier (north_star substring stage wired in):
+    # adds the winnowing-fingerprint shuffle + substring certification
+    best = float("inf")
+    for _ in range(max(2, repeats - 1)):
+        t0 = time.perf_counter()
+        res_c = dedup_pipeline(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]),
+            DedupConfig(max_chars=None, containment=True),
+        )
+        res_c.clusters.count()
+        best = min(best, time.perf_counter() - t0)
+    timings["dedup_containment"] = best
+
     # secondary pipelines (operator coverage under timing); simhash and
     # fingerprint time the raw per-doc value kernels — the catalog entries
     # of those names are the doubled-corpus consistency ORACLES, not the

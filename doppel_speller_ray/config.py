@@ -50,6 +50,20 @@ class DedupConfig:
     #   neighbours — union-find transitivity recovers the cluster
     chain_width: int = 4
 
+    # --- containment tier (north_star: "a substring stage catches
+    #     contained-duplicate pages LSH misses"). Off by default — whole-doc
+    #     near-dup recall doesn't need it and it adds one fingerprint shuffle;
+    #     on, substring-CERTIFIED pairs (stages/containment.py) are unioned
+    #     into the dup-pair set before connected components.
+    containment: bool = False
+    containment_min_candidate: float = 0.35  # winnowing-fingerprint candidate
+    #   bar; low on purpose — certification (exact substring search) is the
+    #   precision gate, this only bounds candidate volume
+    containment_k: int = 8           # winnowing k-gram size ...
+    containment_w: int = 16          # ... and window (guarantee: any shared
+    #   substring of length ≥ w+k−1 shares a fingerprint)
+    containment_max_df: int = 64     # stop-fingerprint cap (boilerplate)
+
     # --- verification tiers
     jaccard_threshold: float = 0.80  # exact shingle-set Jaccard gate (Broder-style near-dup criterion)
     lev_threshold: int = 94          # LEVENSHTEIN_RATIO_THRESHOLD (settings.py:75)

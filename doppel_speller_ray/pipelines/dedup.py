@@ -183,6 +183,36 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
 
     dup_pairs = verified.map_batches(dup_project, batch_format="pyarrow")
     all_pairs = exact_pairs.union(dup_pairs)
+
+    # --- optional containment tier (north_star substring stage) -----------
+    # LSH on whole-doc shingle sets misses low-Jaccard containment (a short
+    # page embedded verbatim in a long boilerplate-heavy page); winnowing
+    # candidates + exact-substring certification recover those pairs. Runs
+    # over the exact-tier representatives (same corpus the LSH tier sees);
+    # exact pairs re-attach the dropped duplicates transitively in CC.
+    n_containment_pairs = None
+    if cfg.containment:
+        from ..stages.containment import substring_containment_pairs
+
+        sub = substring_containment_pairs(
+            reps, min_candidate_containment=cfg.containment_min_candidate,
+            k=cfg.containment_k, w=cfg.containment_w, seed=cfg.seed,
+            max_df=cfg.containment_max_df,
+            num_partitions=num_partitions,
+            broadcast_max_bytes=cfg.broadcast_payload_max_bytes)
+
+        def sub_project(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            f = t.filter(pc.equal(t["is_substring"], True))
+            return f.select(["left_id", "right_id"])
+
+        # materialized: the certified-pair set is small (pair ids only) and
+        # feeds both the CC union and the stats count
+        cont_pairs = sub.map_batches(
+            sub_project, batch_format="pyarrow").materialize()
+        n_containment_pairs = int(cont_pairs.count())
+        if n_containment_pairs:
+            all_pairs = all_pairs.union(cont_pairs)
     if use_distributed_cc is None:
         # verified is checkpointed/materialized → count() is metadata-only;
         # exact pairs are bounded by the verified-candidate corpus size
@@ -212,6 +242,8 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
             "n_components": int(len(set(roots.tolist()))) if len(roots) else 0,
             "n_clustered_docs": int(len(nodes)),
         }
+    if n_containment_pairs is not None:
+        stats["n_containment_pairs"] = n_containment_pairs
     return DedupResult(clusters=clusters, verified_pairs=verified,
                        exact_pairs=exact_pairs, docs=with_rep, stats=stats)
 

@@ -71,6 +71,44 @@ def test_dedup_recall(ray_session, pages_and_truth):
     assert precision >= 0.95, f"precision {precision:.4f}"
 
 
+def test_containment_tier_in_flagship(ray_session, pages_and_truth):
+    """north_star: the substring stage catches contained-duplicate pages LSH
+    misses. The fixture plants ``pre + base + post`` containment pages whose
+    whole-doc Jaccard vs base is below the LSH/verify gate (the default
+    pipeline measures ~0.83 recall on containment-involving pairs); with
+    ``DedupConfig(containment=True)`` the certified substring pairs are
+    unioned into CC and every planted pair (near/exact AND containment) must
+    be recovered."""
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.dedup import dedup_pipeline
+
+    pages, truth = pages_and_truth
+    cfg = DedupConfig(max_chars=None, containment=True)
+    res = dedup_pipeline(rd.from_arrow(pages), cfg, id_col="url", text_col="text")
+
+    id_to_url = {r["doc_id"]: r["url"]
+                 for r in res.docs.select_columns(["doc_id", "url"]).take_all()}
+    by_cluster = collections.defaultdict(list)
+    for r in res.clusters.take_all():
+        by_cluster[r["cluster_id"]].append(id_to_url[r["doc_id"]])
+    predicted = set()
+    for members in by_cluster.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                predicted.add((members[i], members[j]))
+
+    t_all = true_dup_pairs(truth, include_containment=True)
+    t_cont = t_all - true_dup_pairs(truth, include_containment=False)
+    assert t_cont, "fixture must plant containment pages"
+    assert res.stats["n_containment_pairs"] > 0
+    rc = len(t_cont & predicted) / len(t_cont)
+    ra = len(t_all & predicted) / len(t_all)
+    assert rc >= 0.99, f"containment recall {rc:.4f}"
+    assert ra >= 0.99, f"overall recall {ra:.4f}"
+
+
 def test_norm_text_invariant(ray_session, pages_and_truth):
     """Per-url norm_text must be byte-identical to reference transform_title
     semantics applied to the page text."""
