@@ -30,6 +30,14 @@ SPACE_CODE = _CHAR_TO_CODE[" "]
 N_WORD_FEATURES = 15           # NUMBER_OF_WORDS_FEATURES (settings.py:65)
 MAX_CHARS = 255                # MAX_CHARACTERS_ALLOWED_IN_THE_TITLE
 FEATURES_COUNT = 6 + 4 * N_WORD_FEATURES
+# extended family (round-4 calibration): + candidate IDF-Jaccard score and
+# candidate rank from the matcher tier-2 ranking — both already computed
+# there, and exactly the signals the dominance-bound analysis (BASELINE.md
+# round 3) showed the 66-dim family lacks on low-p true matches. A model's
+# feature count decides which family it was trained on (pair_model.
+# model_n_features), so the 66-dim artifact keeps working unchanged.
+N_EXTRA_FEATURES = 2
+EXTENDED_FEATURES_COUNT = FEATURES_COUNT + N_EXTRA_FEATURES
 
 
 def encode_title(norm_text: str) -> np.ndarray:
@@ -110,11 +118,16 @@ def pair_features(title: str, truth_title: str, truth_counts: np.ndarray,
 
 
 def featurize_pairs(titles: list[str], truth_titles: list[str],
-                    truth_counts: np.ndarray, n_truth_titles: int) -> np.ndarray:
-    """(n_pairs, 66) float32 feature matrix."""
+                    truth_counts: np.ndarray, n_truth_titles: int,
+                    extras: np.ndarray | None = None) -> np.ndarray:
+    """(n_pairs, 66) float32 feature matrix; with ``extras`` (n_pairs,
+    N_EXTRA_FEATURES) — candidate IDF-Jaccard + rank — appended → 68."""
     n = len(titles)
     out = np.empty((n, FEATURES_COUNT), dtype=np.float32)
     for i in range(n):
         out[i] = pair_features(titles[i], truth_titles[i],
                                truth_counts[i], n_truth_titles)
+    if extras is not None:
+        out = np.hstack([out, np.asarray(extras, dtype=np.float32)
+                         .reshape(n, -1)])
     return out

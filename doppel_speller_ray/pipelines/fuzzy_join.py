@@ -58,8 +58,12 @@ def _cross_pairs_for_runs(ids, sides, starts, counts, cfg: DedupConfig):
         else:
             w = min(cfg.chain_width, nl)
             rk = np.arange(nr, dtype=np.int64)
+            # stride nl//w (not nl//w + 1): offsets d*step for d < w are all
+            # < nl, so the w picks per right are distinct — the +1 variant
+            # could wrap mod nl and hand a right the same left twice
+            step = max(1, nl // w)
             for d in range(w):
-                pick = (rk + d * (nl // w + 1)) % nl
+                pick = (rk + d * step) % nl
                 lefts.append(lpos[pick])
                 rights.append(rpos)
                 overs.append(np.ones(nr, dtype=np.int8))
@@ -109,7 +113,10 @@ def lsh_similarity_join(left_ds, right_ds, cfg: DedupConfig = DedupConfig(),
     bucket and passing the verify tier (is_dup). With ``best_only`` one row
     per right: argmax by (jaccard, lev_ratio) DESC, left_id ASC tie-break.
 
-    Returns a Dataset (right_id, left_id, jaccard, lev_ratio).
+    Returns a Dataset (right_id, left_id, jaccard, lev_ratio, oversized) —
+    ``oversized`` = 1 when the pair came from a capped bucket's stride
+    sample rather than a full cross product (observability contract from
+    the module docstring).
     """
     from ..functions.hashing import pair_hash
     from ..stages.verify import attach_payload, verify_batch
@@ -165,29 +172,32 @@ def lsh_similarity_join(left_ds, right_ds, cfg: DedupConfig = DedupConfig(),
 
         f = t.filter(pc.equal(t["is_dup"], True))
         r = f["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        f = f.select(["right_id", "left_id", "jaccard", "lev_ratio"])
+        f = f.select(["right_id", "left_id", "jaccard", "lev_ratio",
+                      "oversized"])
         return f.append_column(
             "rpart", pa.array((r % P).astype(np.int64), pa.int64()))
 
     matches = verified.map_batches(dup_only, batch_format="pyarrow")
     if not best_only:
         return matches.select_columns(
-            ["right_id", "left_id", "jaccard", "lev_ratio"])
+            ["right_id", "left_id", "jaccard", "lev_ratio", "oversized"])
 
     def argmax_per_right(g: pa.Table) -> pa.Table:
         rid = g["right_id"].to_numpy(zero_copy_only=False)
         lid = g["left_id"].to_numpy(zero_copy_only=False)
         jac = g["jaccard"].to_numpy(zero_copy_only=False)
         lev = g["lev_ratio"].to_numpy(zero_copy_only=False)
+        over = g["oversized"].to_numpy(zero_copy_only=False)
         order = np.lexsort((lid, -lev, -jac, rid))
         rid, lid = rid[order], lid[order]
-        jac, lev = jac[order], lev[order]
+        jac, lev, over = jac[order], lev[order], over[order]
         first = np.ones(len(rid), dtype=bool)
         first[1:] = rid[1:] != rid[:-1]
         return pa.table({"right_id": pa.array(rid[first], pa.int64()),
                          "left_id": pa.array(lid[first], pa.int64()),
                          "jaccard": pa.array(jac[first], pa.float32()),
-                         "lev_ratio": pa.array(lev[first], pa.int16())})
+                         "lev_ratio": pa.array(lev[first], pa.int16()),
+                         "oversized": pa.array(over[first], pa.int64())})
 
     return matches.groupby("rpart").map_groups(argmax_per_right,
                                                batch_format="pyarrow")

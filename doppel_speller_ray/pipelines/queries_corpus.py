@@ -25,6 +25,15 @@ import pyarrow.compute as pc
 
 from .queries import _SQL_NORM, _docs
 
+# Pipeline/oracle shared parameters: the SQL oracle strings below are built
+# from THESE constants (f-strings), so changing a default cannot silently
+# diverge a paired oracle (ADVICE r3). Callers passing non-default kwargs to
+# the q_* functions must supply a matching oracle themselves.
+DECONTAMINATE_NGRAM = 5
+LINE_DEDUP_MIN_DF = 2
+PACK_BUDGET = 512
+SLIDING_WINDOW_HOURS = 3
+
 
 def _mod_filter(ds, mod: int, residues: tuple[int, ...], negate: bool = False):
     """Keep rows with doc_id % mod in residues (or not, when negate) —
@@ -135,7 +144,7 @@ def _sql_pii_redact() -> str:
 # Benchmark decontamination — word-n-gram overlap against a broadcast set
 # ---------------------------------------------------------------------------
 
-def q_decontaminate(sf_dir: str, n: int = 5):
+def q_decontaminate(sf_dir: str, n: int = DECONTAMINATE_NGRAM):
     """Benchmark decontamination (GPT-3 §C / PaLM-style n-gram filtering):
     flag corpus docs sharing any word-5-gram with a held-out benchmark
     set. The benchmark is SMALL by definition — its distinct gram hashes
@@ -201,7 +210,7 @@ def q_decontaminate(sf_dir: str, n: int = 5):
         flag, batch_format="pyarrow")
 
 
-SQL_DECONTAMINATE = """
+SQL_DECONTAMINATE = f"""
 WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
 aug AS (
   SELECT d.doc_id,
@@ -214,14 +223,14 @@ aug AS (
 bw AS (SELECT string_split_regex(trim(text), '\\s+') AS w
        FROM bench WHERE trim(text) <> ''),
 bg AS (SELECT DISTINCT
-         unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
-                               i -> array_to_string(w[i:i+4], ' '))) AS gram
+         unnest(list_transform(range(1, greatest(len(w) - {DECONTAMINATE_NGRAM - 2}, 1)),
+                               i -> array_to_string(w[i:i+{DECONTAMINATE_NGRAM - 1}], ' '))) AS gram
        FROM bw),
 aw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
        FROM aug WHERE trim(text) <> ''),
 ag AS (SELECT doc_id,
-         unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
-                               i -> array_to_string(w[i:i+4], ' '))) AS gram
+         unnest(list_transform(range(1, greatest(len(w) - {DECONTAMINATE_NGRAM - 2}, 1)),
+                               i -> array_to_string(w[i:i+{DECONTAMINATE_NGRAM - 1}], ' '))) AS gram
        FROM aw),
 hit AS (SELECT DISTINCT ag.doc_id FROM ag JOIN bg USING (gram))
 SELECT a.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
@@ -233,7 +242,7 @@ FROM aug a LEFT JOIN hit ON a.doc_id = hit.doc_id
 # Line-level dedup — CCNet/RefinedWeb duplicated-line removal, cleaned text
 # ---------------------------------------------------------------------------
 
-def q_line_dedup(sf_dir: str, min_df: int = 2):
+def q_line_dedup(sf_dir: str, min_df: int = LINE_DEDUP_MIN_DF):
     """Line-level dedup (CCNet Wenzek et al. 2020 §3.1 dedupe paragraphs by
     hash across the whole corpus; RefinedWeb does the same for lines):
     lines appearing in ≥ min_df DISTINCT docs (headers, footers, cookie
@@ -309,7 +318,7 @@ def q_line_dedup(sf_dir: str, min_df: int = 2):
     return docs.map_batches(rebuild, batch_format="pyarrow")
 
 
-SQL_LINE_DEDUP = """
+SQL_LINE_DEDUP = f"""
 WITH l AS (
   SELECT doc_id, 1 AS ln, 'hdr variant ' || (doc_id % 7)::VARCHAR AS line
   FROM documents
@@ -319,7 +328,7 @@ WITH l AS (
   FROM documents),
 df AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
 k AS (SELECT l.doc_id, l.ln, l.line
-      FROM l JOIN df USING (line) WHERE df.df < 2)
+      FROM l JOIN df USING (line) WHERE df.df < {LINE_DEDUP_MIN_DF})
 SELECT d.doc_id,
        coalesce(string_agg(k.line, chr(10) ORDER BY k.ln), '') AS clean_text
 FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
@@ -331,7 +340,7 @@ GROUP BY d.doc_id
 # Sequence packing — distributed prefix-sum over a deterministic doc order
 # ---------------------------------------------------------------------------
 
-def q_pack_sequences(sf_dir: str, budget: int = 512, range_width: int = 32):
+def q_pack_sequences(sf_dir: str, budget: int = PACK_BUDGET, range_width: int = 32):
     """Token-budget sequence packing (training-batch assembly): docs in
     deterministic doc_id order are packed into sequences of `budget`
     tokens — doc d's seq_id = floor(exclusive_prefix_sum(n_tokens) /
@@ -383,7 +392,7 @@ def q_pack_sequences(sf_dir: str, budget: int = 512, range_width: int = 32):
         .select_columns(["doc_id", "n_tokens", "seq_id"])
 
 
-SQL_PACK_SEQUENCES = """
+SQL_PACK_SEQUENCES = f"""
 WITH t AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
@@ -392,7 +401,7 @@ WITH t AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            / 512) AS BIGINT) AS seq_id
+            / {PACK_BUDGET}) AS BIGINT) AS seq_id
 FROM t
 """
 
@@ -612,7 +621,9 @@ WITH delta AS (
   WHERE d.doc_id % 4 = 0),
 base AS (SELECT {_SQL_NORM} AS n FROM documents WHERE doc_id % 4 <> 0),
 dn AS (SELECT doc_id, {_SQL_NORM} AS n FROM delta)
-SELECT doc_id FROM dn WHERE n NOT IN (SELECT n FROM base)
+-- NOT EXISTS, not NOT IN: one NULL norm in base would make NOT IN evaluate
+-- NULL for every row and silently empty the result (Ray side fills nulls)
+SELECT doc_id FROM dn WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.n = dn.n)
 """
 
 
@@ -674,7 +685,7 @@ FROM documents WHERE length(text) >= 60
 # Sliding-window aggregate — window fan-out instead of a windowed shuffle
 # ---------------------------------------------------------------------------
 
-def q_events_sliding(sf_dir: str, window_hours: int = 3):
+def q_events_sliding(sf_dir: str, window_hours: int = SLIDING_WINDOW_HOURS):
     """Sliding 3-hour window, 1-hour slide: per output hour h, count and
     value-sum of events in (h−2 .. h]. Ray Data has no event-time windows;
     the scale shape is WINDOW FAN-OUT — each event row expands to
@@ -713,10 +724,10 @@ def q_events_sliding(sf_dir: str, window_hours: int = 3):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
-SQL_EVENTS_SLIDING = """
+SQL_EVENTS_SLIDING = f"""
 WITH x AS (
   SELECT date_trunc('hour', ts) + to_hours(k) AS hour, value
-  FROM events, (VALUES (0), (1), (2)) AS t(k))
+  FROM events, (VALUES {", ".join(f"({k})" for k in range(SLIDING_WINDOW_HOURS))}) AS t(k))
 SELECT hour, count(*) AS n_events, round(sum(value), 3) AS sum_value
 FROM x GROUP BY hour
 """

@@ -319,9 +319,12 @@ def q_tfidf_topk(sf_dir: str, k: int = _TFIDF_K):
     words = np.asarray(idf_tbl["word"].combine_chunks(), dtype=object)
     order = np.argsort(words)  # lexicographic — searchsorted key
     sorted_words = words[order]
-    idf_vals = np.round(
+    # _round6_half_up, not np.round (half-to-even): the SQL oracle uses
+    # DuckDB round() and every cross-engine float in the repo shares the
+    # half-up rule — an idf landing on a half-microunit must not diverge
+    idf_vals = _round6_half_up(
         np.log(n_docs / idf_tbl["df"].to_numpy(zero_copy_only=False)
-               .astype(np.float64)), 6)[order]
+               .astype(np.float64)))[order]
     ref = ray.put((sorted_words, idf_vals))
 
     def fn(t: pa.Table) -> pa.Table:

@@ -40,12 +40,22 @@ def build_word_counter(truth_table: pa.Table) -> dict[str, int]:
 
 def generate_training_pairs(truth_table: pa.Table, cfg: MatchConfig,
                             n_candidates_per_title: int | None = None,
-                            min_title_len: int = 9) -> pa.Table:
-    """(title, truth_title, label) pair table:
+                            min_title_len: int = 9,
+                            nf_fraction: float = 0.2) -> pa.Table:
+    """(title, truth_title, label, jaccard, rank) pair table:
 
     * positives: seeded misspellings of each long-enough truth title (N6/N7);
     * negatives: top-k Jaccard candidates of the misspelled query that are
-      NOT the source title (O3 downsampling, true pair force-included).
+      NOT the source title (O3 downsampling, true pair force-included);
+    * simulated NOT-FOUND queries (every 1/nf_fraction-th title): the true
+      title is masked from the candidate list and ALL its candidates are
+      labeled 0. Without these, every training query has a true match and
+      rank/jaccard become degenerate positive signals ("rank 0 ⇒ match"),
+      which collapses precision on real not-found queries — the deployment
+      distribution has ~30% of them (reference example_dataset).
+
+    ``jaccard``/``rank`` are the matcher tier-2 signals feeding the
+    extended 68-dim feature family (functions/features.py).
     """
     from ..functions.normalize import transform_text
     from ..functions.shingles import shingle_array
@@ -54,8 +64,9 @@ def generate_training_pairs(truth_table: pa.Table, cfg: MatchConfig,
     index = TruthIndex(truth_table)
     norms = truth_table["norm_text"].to_pylist()
     k = n_candidates_per_title or cfg.top_k_train
+    nf_every = int(round(1.0 / nf_fraction)) if nf_fraction > 0 else 0
 
-    titles, truths, labels = [], [], []
+    titles, truths, labels, jacs, ranks = [], [], [], [], []
     for i, norm in enumerate(norms):
         if len(norm) <= min_title_len:      # N7 (feature_engineering.py:213-215)
             continue
@@ -63,27 +74,48 @@ def generate_training_pairs(truth_table: pa.Table, cfg: MatchConfig,
                                max_chars=cfg.max_chars, n_grams=cfg.n_grams)
         qcodes = np.asarray(shingle_array([query], cfg.n_grams)[0].values,
                             dtype=np.uint64)
-        cand = index.topk(qcodes, k)
+        simulate_nf = nf_every > 0 and i % nf_every == 0
+        jac_all, _ = index.score_all(qcodes)
+        if simulate_nf:
+            jac_all[i] = -1.0               # mask the true title
+        if index.n_truth <= k:
+            cand = np.argsort(jac_all)[::-1][:k]
+        else:
+            part = np.argpartition(jac_all, -k)[-k:]
+            cand = part[np.argsort(jac_all[part])[::-1]]
+        cand = cand[jac_all[cand] > -0.5]   # drop the masked row (tiny truth)
         got_true = False
-        for t in cand:
+        for j, t in enumerate(cand):
             titles.append(query)
             truths.append(norms[t])
             is_true = int(t == i)
             got_true = got_true or bool(is_true)
             labels.append(is_true)
-        if not got_true:                    # force-include the true pair
+            jacs.append(float(jac_all[t]))
+            ranks.append(j)
+        if not simulate_nf and not got_true:  # force-include the true pair
             titles.append(query)            # (feature_engineering_prepare.py:51-55)
             truths.append(norm)
             labels.append(1)
+            # true pair outside the top-k: its actual score + sentinel rank k
+            jacs.append(float(jac_all[i]))
+            ranks.append(k)
     return pa.table({"title": pa.array(titles), "truth_title": pa.array(truths),
-                     "label": pa.array(labels, pa.int64())})
+                     "label": pa.array(labels, pa.int64()),
+                     "jaccard": pa.array(jacs, pa.float64()),
+                     "rank": pa.array(ranks, pa.int64())})
 
 
 def train_verifier(truth_ds, cfg: MatchConfig = MatchConfig(), *,
                    eval_fraction: float = 0.2, model_path: str | None = None,
-                   model_params: dict | None = None):
+                   model_params: dict | None = None,
+                   extra_features: bool = True):
     """End-to-end training: returns (model, metrics dict). ``model_params``
-    override BoostedPairModel constructor defaults (e.g. n_rounds)."""
+    override BoostedPairModel constructor defaults (e.g. n_rounds).
+
+    ``extra_features`` appends the matcher's candidate IDF-Jaccard score and
+    rank to the 66-dim reference features (68-dim extended family); the
+    matcher auto-detects which family an artifact expects at predict time."""
     truth_table = collect_truth_table(truth_ds, cfg)
     counter = build_word_counter(truth_table)
     n_truth = truth_table.num_rows
@@ -93,7 +125,12 @@ def train_verifier(truth_ds, cfg: MatchConfig = MatchConfig(), *,
     truths = pairs["truth_title"].to_pylist()
     y = pairs["label"].to_numpy(zero_copy_only=False).astype(np.float64)
     counts = np.stack([truth_word_counts(t, counter) for t in truths])
-    X = featurize_pairs(titles, truths, counts, n_truth)
+    extras = None
+    if extra_features:
+        extras = np.column_stack([
+            pairs["jaccard"].to_numpy(zero_copy_only=False),
+            pairs["rank"].to_numpy(zero_copy_only=False).astype(np.float64)])
+    X = featurize_pairs(titles, truths, counts, n_truth, extras=extras)
 
     rng = np.random.default_rng(cfg.seed)
     is_eval = rng.random(len(y)) < eval_fraction

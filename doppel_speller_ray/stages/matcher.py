@@ -103,12 +103,20 @@ class TruthIndex:
             jac = np.where(denom > 0, scores / denom, 0.0)
         return jac, q_idf_sum
 
-    def topk(self, qcodes: np.ndarray, k: int) -> np.ndarray:
+    def topk_scored(self, qcodes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k candidate row indices (score-descending) AND their
+        modified-Jaccard scores — the scores feed the extended pair-model
+        features (functions/features.py)."""
         jac, _ = self.score_all(qcodes)
         if self.n_truth <= k:
-            return np.argsort(jac)[::-1]
-        part = np.argpartition(jac, -k)[-k:]
-        return part[np.argsort(jac[part])[::-1]]
+            idx = np.argsort(jac)[::-1]
+        else:
+            part = np.argpartition(jac, -k)[-k:]
+            idx = part[np.argsort(jac[part])[::-1]]
+        return idx, jac[idx]
+
+    def topk(self, qcodes: np.ndarray, k: int) -> np.ndarray:
+        return self.topk_scored(qcodes, k)[0]
 
 
 class MatcherActor:
@@ -129,6 +137,14 @@ class MatcherActor:
         # model_top_k best Jaccard candidates of still-unmatched queries
         self.model = ray.get(model_ref) if model_ref is not None else None
         self.model_top_k = model_top_k
+        if self.model is not None:
+            # extended 68-dim family (candidate IDF-Jaccard + rank appended)
+            # vs the original 66-dim family — decided by the artifact itself
+            from ..functions.features import EXTENDED_FEATURES_COUNT
+            from .pair_model import model_n_features
+
+            self.model_extra = (
+                model_n_features(self.model) == EXTENDED_FEATURES_COUNT)
         if self.model is not None:
             from collections import Counter
 
@@ -187,7 +203,7 @@ class MatcherActor:
                 continue
             # tier 2: IDF-Jaccard top-k + gated Levenshtein (predict.py:122-176)
             qcodes = flat[offsets[i]: offsets[i + 1]]
-            cand = self.index.topk(qcodes, k)
+            cand, cscores = self.index.topk_scored(qcodes, k)
             # grouped argmax + ambiguity drop: 2+ surviving rows at the max
             # ratio ⇒ not-found, even for equal titles (predict.py:158-176)
             best_ratio, best_tid, n_at_best = 0, nf, 0
@@ -211,8 +227,12 @@ class MatcherActor:
 
                 mk = cand[: self.model_top_k]
                 truths = [self.index.norm_texts[t] for t in mk]
+                extras = (np.column_stack([cscores[: len(mk)],
+                                           np.arange(len(mk), dtype=np.float64)])
+                          if self.model_extra else None)
                 X = featurize_pairs([norm] * len(mk), truths,
-                                    self.truth_counts[mk], self.index.n_truth)
+                                    self.truth_counts[mk], self.index.n_truth,
+                                    extras=extras)
                 p = self.model.predict_proba(X)
                 best = int(np.argmax(p))
                 if (p[best] > self.cfg.prediction_threshold

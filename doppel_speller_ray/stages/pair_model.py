@@ -256,6 +256,20 @@ class BoostedPairModel:
             return pickle.load(f)
 
 
+def model_n_features(model) -> int | None:
+    """Feature count a trained verifier expects — how callers decide
+    whether to append the extended (IDF-Jaccard + rank) features. Reads the
+    fitted state (bin edges / standardization vector), so it works on any
+    pickled artifact regardless of when it was trained."""
+    edges = getattr(model, "edges", None)
+    if edges is not None:
+        return len(edges)
+    mu = getattr(model, "mu", None)
+    if mu is not None:
+        return len(mu)
+    return None
+
+
 def error_matrix(y_true: np.ndarray, p: np.ndarray, threshold: float = 0.9,
                  fp_penalty: int = 5) -> dict:
     """Confusion counts + custom error FN + 5×FP (train.py:63-82,

@@ -68,6 +68,7 @@ def main() -> None:
     ap.add_argument("--topk", default="10,20,50")
     ap.add_argument("--out", default=None)
     ap.add_argument("--num-cpus", type=int, default=16)
+    ap.add_argument("--model", default=ART)
     args = ap.parse_args()
 
     sys.path.insert(0, ROOT)
@@ -85,7 +86,7 @@ def main() -> None:
     from doppel_speller_ray.pipelines.matching import match_pipeline
     from doppel_speller_ray.stages.pair_model import BoostedPairModel
 
-    model = BoostedPairModel.load(ART)
+    model = BoostedPairModel.load(args.model)
     truth = _read_any(f"{EX}/example_truth.csv.gz", _TRUTH_MAPPING, "|")
     actuals_ds = _read_any(
         f"{EX}/example_test_with_actuals.csv.gz",

@@ -31,7 +31,9 @@ def main() -> int:
     from doppel_speller_ray.pipelines.training import train_verifier
 
     cfg = MatchConfig()
-    art_dir = os.path.join(REPO, "artifacts")
+    # BASELINE.md rule: train to a scratch dir first (TRAIN_OUT_DIR), adopt
+    # into artifacts/ only if the swept operating point improves
+    art_dir = os.environ.get("TRAIN_OUT_DIR", os.path.join(REPO, "artifacts"))
     os.makedirs(art_dir, exist_ok=True)
     truth = _read_any(f"{EX}/example_truth.csv.gz", _TRUTH_MAPPING, "|")
 
