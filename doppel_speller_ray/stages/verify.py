@@ -18,7 +18,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import DedupConfig
-from ..functions.lev import deletion_ratio, lev_ratio, token_sort_ratio
+from ..functions.lev import (chain_ruled_out, deletion_ratio, lev_ratio,
+                             token_sort_ratio)
 
 
 def attach_payload(pairs_ds, docs_ds, num_partitions: int = 16, with_text: bool = True):
@@ -175,6 +176,8 @@ def verify_pairs_broadcast(pairs_ds, docs_ds, cfg: DedupConfig,
                 b = btd[bto[rp[i]]: bto[rp[i] + 1]].tobytes().decode("utf-8")[:cap]
                 if deletion_ratio(a, b) < thr:
                     continue
+                if chain_ruled_out(a, b, thr):
+                    continue  # O(n+m) bound: no chain kernel can pass thr
                 r = lev_ratio(a, b)
                 lev[i] = token_sort_ratio(a, b) if r <= thr else r
 
@@ -225,6 +228,12 @@ def verify_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
                 # collapsed so prefixes align well for near-dups)
                 a, b = a[:cap], b[:cap]
             if deletion_ratio(a, b) < thr:
+                lev[i] = 0
+                continue
+            if chain_ruled_out(a, b, thr):
+                # O(n+m) char-multiset bound proves neither chain kernel can
+                # exceed the threshold — same "couldn't pass" marker as the
+                # deletion-ratio prefilter (only ratio > thr matters here)
                 lev[i] = 0
                 continue
             r = lev_ratio(a, b)

@@ -88,6 +88,44 @@ def test_gated_chain():
     assert gated_ratio(a, b) == 100
 
 
+def test_chain_ruled_out_admissible():
+    """The O(n+m) early-exit bound must NEVER rule out a pair either chain
+    kernel would pass — fuzzed around the threshold boundary (words shuffled
+    and perturbed so token_sort_ratio is exercised too), plus the bound
+    itself is a true indel-distance lower bound."""
+    from doppel_speller_ray.functions.lev import (chain_ruled_out,
+                                                  indel_lower_bound,
+                                                  lcs_length)
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "etaa"]
+    for trial in range(300):
+        nw = rng.randint(1, 8)
+        words = [rng.choice(vocab) for _ in range(nw)]
+        a = " ".join(words)
+        # near-duplicate b: shuffle words, few char edits — lands both sides
+        # of the 94 boundary
+        bw = words[:]
+        rng.shuffle(bw)
+        b = list(" ".join(bw))
+        for _ in range(rng.randint(0, 3)):
+            pos = rng.randrange(len(b))
+            op = rng.random()
+            if op < 0.4:
+                b[pos] = rng.choice("abcdefgh")
+            elif op < 0.7 and len(b) > 1:
+                del b[pos]
+            else:
+                b.insert(pos, rng.choice("abcdefgh"))
+        b = "".join(b)
+        true_dist = len(a) + len(b) - 2 * lcs_length(a, b)
+        assert indel_lower_bound(a, b) <= true_dist, (a, b)
+        for thr in (80, 90, 94, 96):
+            if chain_ruled_out(a, b, thr):
+                assert lev_ratio(a, b) <= thr, (a, b, thr)
+                assert token_sort_ratio(a, b) <= thr, (a, b, thr)
+
+
 def test_fast_path_binding_consistent():
     """When rapidfuzz is absent (this container), the public names ARE the
     pure-Python kernels; when present, the *_py aliases keep the originals."""
