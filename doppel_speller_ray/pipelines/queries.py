@@ -347,26 +347,34 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
     order = np.argsort(ids)
     ids = ids[order]
     sets = [sets[i] for i in order]
-    ref = ray.put((ids, sets))
+    # CSR layout so the per-i scan is one vectorized pass over ALL postings
+    lens = np.array([len(s) for s in sets], dtype=np.int64)
+    flat = np.concatenate(sets) if sets else np.empty(0, np.uint64)
+    doc_of = np.repeat(np.arange(len(sets), dtype=np.int64), lens)
+    ref = ray.put((ids, lens, flat, doc_of))
 
     import ray.data as rd
 
     idx = rd.from_items([{"i": int(i)} for i in range(len(ids))])
 
     def pairs_for(batch: pa.Table) -> pa.Table:
-        bids, bsets = ray.get(ref)
+        bids, blens, bflat, bdoc = ray.get(ref)
+        n = len(bids)
         out_l, out_r, out_j = [], [], []
         for i in batch["i"].to_pylist():
-            a = bsets[i]
-            for j in range(i + 1, len(bids)):
-                b = bsets[j]
-                inter = len(np.intersect1d(a, b, assume_unique=True))
-                union = len(a) + len(b) - inter
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    out_l.append(int(bids[i]))
-                    out_r.append(int(bids[j]))
-                    out_j.append(round(jac, 6))
+            a = bflat[bdoc == i]
+            # intersection counts vs EVERY other doc in one vectorized pass:
+            # mark postings present in a, then count hits per doc
+            inter = np.bincount(bdoc[np.isin(bflat, a)], minlength=n)
+            union = len(a) + blens - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = np.where(union > 0, inter / union, 1.0)
+            hits = np.nonzero((jac >= threshold)
+                              & (np.arange(n) > i))[0]
+            for j in hits:
+                out_l.append(int(bids[i]))
+                out_r.append(int(bids[j]))
+                out_j.append(round(float(jac[j]), 6))
         return pa.table({"left_id": pa.array(out_l, pa.int64()),
                          "right_id": pa.array(out_r, pa.int64()),
                          "jaccard": pa.array(out_j, pa.float64())})

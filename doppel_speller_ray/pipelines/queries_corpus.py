@@ -868,7 +868,143 @@ UNION ALL SELECT doc_id + 2000000, doc_id FROM documents WHERE length(text) >= 6
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary build + token-id export — the flattened training-export layout
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZE = 64
+VOCAB_MAX_TOKENS = 32
+
+
+def q_vocab_encode(sf_dir: str, vocab_size: int = VOCAB_SIZE,
+                   max_tokens: int = VOCAB_MAX_TOKENS):
+    """Frequency-vocabulary build + token-id encoding (the export step a
+    training pipeline runs after cleaning: text → fixed vocab ids).
+
+    Vocab = top-``vocab_size`` words by (document frequency DESC, word ASC),
+    ids 1..V; out-of-vocabulary words encode as 0 (UNK). Output is the
+    flattened (doc_id, pos, token_id) layout — one row per encoded token,
+    1-based ``pos`` over the doc's first ``max_tokens`` words.
+
+    Scale shape: the corpus-wide DF aggregation reuses `_word_df_ds` (per-
+    batch partial combine, |vocab|-sized shuffle); the top-V cut is driver-
+    side on the tiny aggregated table; the vocab is broadcast (ray.put) and
+    every doc encodes in one vectorized pc.index_in pass — the corpus never
+    shuffles."""
+    import ray
+
+    from ..functions.normalize import normalize_array
+    from .queries import _QCFG, _word_df_ds
+
+    blocks = [t for t in ray.get(_word_df_ds(sf_dir).to_arrow_refs())
+              if t.num_columns]
+    tbl = pa.concat_tables(blocks, promote_options="none")
+    words = np.asarray(tbl["word"].to_pylist(), dtype=object)
+    df = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # rank by (df DESC, word ASC): lexsort keys are last-significant-first
+    order = np.lexsort((words, -df))[:vocab_size]
+    vocab_words = words[order]                       # vocab_words[i] → id i+1
+    lex = np.argsort(vocab_words)
+    vocab_ref = ray.put((list(vocab_words[lex]),
+                         (lex + 1).astype(np.int64)))  # sorted words, their ids
+
+    def encode(t: pa.Table) -> pa.Table:
+        svoc, sids = ray.get(vocab_ref)
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        wl = pc.split_pattern(norm, pattern=" ")
+        if isinstance(wl, pa.ChunkedArray):
+            wl = wl.combine_chunks()
+        lens = pc.list_value_length(wl).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens) + 1
+        keep = pos <= max_tokens
+        hit = pc.index_in(wl.values, value_set=pa.array(svoc, pa.string()))
+        valid = hit.is_valid().to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(hit, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        tid = np.where(valid, sids[idx], 0).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens)[keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int64()),
+            "token_id": pa.array(tid[keep], pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow")
+
+
+SQL_VOCAB_ENCODE = f"""
+WITH n AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+df AS (SELECT word, count(DISTINCT doc_id) AS df
+       FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY word),
+vocab AS (SELECT word, tid FROM (
+    SELECT word, row_number() OVER (ORDER BY df DESC, word ASC) AS tid
+    FROM df) WHERE tid <= {VOCAB_SIZE}),
+tok AS (SELECT doc_id,
+               unnest(range(1, least(len(ws), {VOCAB_MAX_TOKENS}) + 1)) AS i,
+               ws FROM w),
+t2 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS INT)] AS word
+       FROM tok)
+SELECT t2.doc_id, t2.pos, CAST(coalesce(vocab.tid, 0) AS BIGINT) AS token_id
+FROM t2 LEFT JOIN vocab USING (word)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document character entropy — a classic cheap quality/garbage signal
+# ---------------------------------------------------------------------------
+
+def q_char_entropy(sf_dir: str):
+    """Shannon entropy (bits) of the normalized text's character
+    distribution — low entropy flags repetitive/garbage documents, high
+    entropy flags binary-ish noise (a standard cheap curation signal next
+    to the Gopher rules). Zero shuffle: normalized text is ASCII by
+    construction (accents folded), so per-doc histograms are ONE packed
+    np.bincount over the batch's flat utf8 buffer — no per-doc Python."""
+    from ..functions.hashing import _string_buffers
+    from ..functions.normalize import normalize_array
+    from .queries import _QCFG, _round6_half_up
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        data, off = _string_buffers(norm)
+        n = len(t)
+        lens = np.diff(off)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        counts = np.bincount(doc_of * 128 + data.astype(np.int64),
+                             minlength=n * 128).reshape(n, 128)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = counts / np.maximum(lens, 1)[:, None]
+            term = np.where(counts > 0, -p * np.log2(np.where(p > 0, p, 1.0)),
+                            0.0)
+        ent = _round6_half_up(term.sum(axis=1))
+        return pa.table({"doc_id": t["doc_id"],
+                         "entropy": pa.array(ent, pa.float64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_CHAR_ENTROPY = f"""
+WITH n AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+c AS (SELECT doc_id, substring(norm, CAST(i AS INT), 1) AS ch
+      FROM (SELECT doc_id, norm, unnest(range(1, length(norm) + 1)) AS i
+            FROM n)),
+cc AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, sum(cnt) AS n_chars FROM cc GROUP BY doc_id)
+SELECT cc.doc_id,
+       round(-sum((CAST(cnt AS DOUBLE) / n_chars)
+                  * log2(CAST(cnt AS DOUBLE) / n_chars)), 6) AS entropy
+FROM cc JOIN tot USING (doc_id)
+GROUP BY cc.doc_id
+"""
+
+
 CORPUS_QUERIES = {
+    "vocab_encode": q_vocab_encode,
+    "char_entropy": q_char_entropy,
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
     "line_dedup": q_line_dedup,
@@ -882,6 +1018,8 @@ CORPUS_QUERIES = {
 }
 
 CORPUS_ORACLES = {
+    "vocab_encode": SQL_VOCAB_ENCODE,
+    "char_entropy": SQL_CHAR_ENTROPY,
     "pii_redact": _sql_pii_redact(),
     "decontaminate": SQL_DECONTAMINATE,
     "line_dedup": SQL_LINE_DEDUP,
