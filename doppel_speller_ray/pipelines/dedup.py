@@ -258,8 +258,11 @@ def write_clusters(result: DedupResult, out_dir: str,
     With ``n_shards`` the output is hive-partitioned by a stable
     ``shard = doc_id % n_shards`` column — one directory per key range, so
     a downstream consumer (or a restarted writer) can address/skip
-    finished shards independently (north_rule resumable layout)."""
-    ds = result.clusters.sort("doc_id")
+    finished shards independently (north_rule resumable layout). Rows are
+    sorted by doc_id WITHIN each shard (what a resuming consumer needs);
+    a single shard groupby replaces the global sort's extra sample+range
+    barrier (VERDICT r4 #4 — per-shard ordering is the contract, the global
+    total order across shard directories never was)."""
     if n_shards:
         import pyarrow.compute as pc
 
@@ -273,7 +276,11 @@ def write_clusters(result: DedupResult, out_dir: str,
                 pa.int32())
             return t.append_column("shard", shard)
 
-        ds = ds.map_batches(add_shard, batch_format="pyarrow")
+        def sort_shard(g: pa.Table) -> pa.Table:
+            return g.sort_by("doc_id")
+
+        ds = result.clusters.map_batches(add_shard, batch_format="pyarrow") \
+            .groupby("shard").map_groups(sort_shard, batch_format="pyarrow")
         ds.write_parquet(out_dir, mode="overwrite", partition_cols=["shard"])
     else:
-        ds.write_parquet(out_dir, mode="overwrite")
+        result.clusters.sort("doc_id").write_parquet(out_dir, mode="overwrite")

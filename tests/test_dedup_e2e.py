@@ -109,6 +109,35 @@ def test_containment_tier_in_flagship(ray_session, pages_and_truth):
     assert ra >= 0.99, f"overall recall {ra:.4f}"
 
 
+def test_write_clusters_sharded(ray_session, tmp_path):
+    """Sharded resumable layout: one hive dir per shard, every doc exactly
+    once, rows sorted by doc_id within each shard, overwrite-safe rerun."""
+    import os
+
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.dedup import dedup_pipeline, write_clusters
+
+    rows = [{"doc_id": i, "text": f"document number {i} with words"}
+            for i in range(40)]
+    res = dedup_pipeline(rd.from_items(rows), DedupConfig(max_chars=None))
+    out = str(tmp_path / "clusters")
+    write_clusters(res, out, n_shards=4)
+    write_clusters(res, out, n_shards=4)  # rerun must overwrite, not append
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={k}" for k in range(4)]
+    seen = []
+    for d in dirs:
+        shard = int(d.split("=")[1])
+        t = rd.read_parquet(os.path.join(out, d)).take_all()
+        ids = [r["doc_id"] for r in t]
+        assert ids == sorted(ids), f"{d} not sorted"
+        assert all(i % 4 == shard for i in ids)
+        seen.extend(ids)
+    assert sorted(seen) == list(range(40))
+
+
 def test_norm_text_invariant(ray_session, pages_and_truth):
     """Per-url norm_text must be byte-identical to reference transform_title
     semantics applied to the page text."""
