@@ -119,7 +119,8 @@ def lsh_similarity_join(left_ds, right_ds, cfg: DedupConfig = DedupConfig(),
     the module docstring).
     """
     from ..functions.hashing import pair_hash
-    from ..stages.verify import attach_payload, verify_batch
+    from ..stages.verify import (attach_payload, verify_batch,
+                                 verify_pairs_broadcast)
     from ..util import default_num_partitions, default_task_partitions
 
     P = num_partitions or default_task_partitions()
@@ -161,11 +162,26 @@ def lsh_similarity_join(left_ds, right_ds, cfg: DedupConfig = DedupConfig(),
         .groupby("ppart").map_groups(dedup_pairs_partition,
                                      batch_format="pyarrow")
 
+    # payload attach: same measured broadcast-vs-join switch as the dedup
+    # flagship (dedup.py) and the substring tier — below the byte threshold
+    # the union'd docs payload is packed once by a Ray task (object store,
+    # never the driver) and each verify batch reads it zero-copy, which
+    # removes the two chained hash-shuffle joins entirely; above it, the
+    # joins are the scale path (neither side fits an actor heap).
+    import ray.data as rd
+
     docs_union = left.union(right)
-    attached = attach_payload(deduped, docs_union, num_partitions=joinP,
-                              with_text=cfg.use_levenshtein)
-    verified = attached.map_batches(verify_batch, batch_format="pyarrow",
-                                    fn_kwargs={"cfg": cfg})
+    docs_refs = docs_union.to_arrow_refs()  # one execution; blocks stay put
+    docs_union = rd.from_arrow_refs(docs_refs)
+    payload_bytes = docs_union.size_bytes() or 0
+    if payload_bytes <= cfg.broadcast_payload_max_bytes:
+        verified = verify_pairs_broadcast(deduped, docs_union, cfg,
+                                          docs_refs=docs_refs)
+    else:
+        attached = attach_payload(deduped, docs_union, num_partitions=joinP,
+                                  with_text=cfg.use_levenshtein)
+        verified = attached.map_batches(verify_batch, batch_format="pyarrow",
+                                        fn_kwargs={"cfg": cfg})
 
     def dup_only(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -178,6 +178,33 @@ def test_lsh_join_best_only_false_returns_all(ray_session):
     assert len(best) == 1 and best[0]["right_id"] == 101
 
 
+def test_lsh_join_forced_join_path_matches_broadcast(ray_session):
+    """broadcast_payload_max_bytes=0 forces the chained hash-join attach
+    (the both-sides-large scale path); its rows must be identical to the
+    default broadcast attach's."""
+    import ray.data as rd
+
+    from doppel_speller_ray.config import DedupConfig
+    from doppel_speller_ray.pipelines.fuzzy_join import lsh_similarity_join
+
+    txt = "a shared very long base sentence with plenty of repeated tokens inside"
+    left = rd.from_items([
+        {"doc_id": 1, "text": txt},
+        {"doc_id": 2, "text": txt + " x"},
+        {"doc_id": 3, "text": "totally different words about nothing alike"},
+    ])
+    right = rd.from_items([{"doc_id": 101, "text": txt + " y"}])
+
+    def rows(cfg):
+        out = lsh_similarity_join(left, right, cfg, best_only=False)
+        return sorted(
+            (r["right_id"], r["left_id"], round(r["jaccard"], 5),
+             r["lev_ratio"], r["oversized"]) for r in out.take_all())
+
+    assert rows(DedupConfig(max_chars=None)) == \
+        rows(DedupConfig(max_chars=None, broadcast_payload_max_bytes=0))
+
+
 def test_events_sliding_hand(ray_session, tmp_path):
     """3 events in hours 0,0,2 → windows: h0{2}, h1{2}, h2{3}, h3{1}, h4{1}."""
     import pyarrow.parquet as pq
