@@ -389,11 +389,175 @@ FROM r WHERE rank <= {_TFIDF_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# N-gram LM quality score (CCNet-style) — broadcast bigram model + scoring
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2019, §3.3) ranks crawled pages by the perplexity of
+# a language model trained on a trusted reference corpus. Same shape here:
+# a word-bigram model with Laplace smoothing is fit on the reference slice
+# (doc_id % _LM_MOD < _LM_REF — deterministic, SQL-reproducible) and every
+# remaining page is scored by the mean negative log-likelihood of its
+# bigrams, -ln((c(w1,w2)+1) / (c(w1,·)+V)) — lower = more reference-like.
+#
+# Scale shape: the model is the SMALL side by construction (CCNet's
+# reference LM is Wikipedia-sized while the corpus is the crawl). Per-batch
+# PARTIAL counts pre-aggregate before anything moves, ONE combine task
+# packs the model into sorted numpy arrays in the object store (never on
+# the driver), and the scoring side NEVER shuffles: each page's bigrams
+# are formed, searchsorted against the broadcast model, and averaged
+# inside its own batch. Lookup is exact (vocab-id keyed), not hashed — a
+# hash collision would silently corrupt a count and diverge from the SQL.
+
+_LM_MOD = 10
+_LM_REF = 3   # doc_id % 10 ∈ {0,1,2} → reference (model) slice
+
+
+def _lm_flat_words(t: pa.Table):
+    """normalize → split → drop '' tokens, keeping per-doc order: returns
+    (words object-array, doc_idx int array) over the batch."""
+    from ..functions.normalize import normalize_array
+    from .queries import _QCFG
+
+    norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+    wl = pc.split_pattern(norm, pattern=" ")
+    if isinstance(wl, pa.ChunkedArray):
+        wl = wl.combine_chunks()
+    lens = np.diff(np.asarray(wl.offsets))
+    doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+    words = np.asarray(wl.values, dtype=object)
+    keep = np.array([len(w) > 0 for w in words], dtype=bool)
+    return words[keep], doc_idx[keep]
+
+
+def _lm_partial_counts(t: pa.Table) -> pa.Table:
+    """Reference-slice batch → pre-aggregated partial rows: bigram counts
+    (w1, w2, c) plus unigram-vocabulary counts encoded as (w, '', c) — ''
+    can never be a real token (empties are filtered before bigramming)."""
+    words, doc_idx = _lm_flat_words(t)
+    uw, codes = np.unique(words, return_inverse=True)
+    nu = max(len(uw), 1)
+    adj = doc_idx[1:] == doc_idx[:-1]
+    key = codes[:-1][adj] * nu + codes[1:][adj]
+    bk, bc = np.unique(key, return_counts=True)
+    uk, uc = np.unique(codes, return_counts=True)
+    return pa.table({
+        "w1": pa.array(np.concatenate([uw[bk // nu], uw[uk]]), pa.string()),
+        "w2": pa.array(np.concatenate([uw[bk % nu],
+                                       np.full(len(uk), "", object)]),
+                       pa.string()),
+        "c": pa.array(np.concatenate([bc, uc]).astype(np.int64), pa.int64()),
+    })
+
+
+def _lm_build_model(*tables):
+    """Combine partial-count tables into the packed broadcast model:
+    (sorted vocab, V, sorted bigram keys id1*V+id2, bigram counts,
+    per-first-word counts c1). Runs as ONE Ray task; the result object IS
+    the broadcast."""
+    live = [x for x in tables if x.num_columns]
+    if not live:
+        return (np.empty(0, object), 1, np.empty(0, np.int64),
+                np.empty(0, np.int64), np.zeros(1, np.int64))
+    t = pa.concat_tables(live, promote_options="none")
+    w1 = np.asarray(t["w1"].combine_chunks(), dtype=object)
+    w2 = np.asarray(t["w2"].combine_chunks(), dtype=object)
+    c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uni = np.array([len(x) == 0 for x in w2], dtype=bool)
+    vocab = np.unique(w1[uni])
+    V = max(len(vocab), 1)
+    b1 = np.searchsorted(vocab, w1[~uni]).astype(np.int64)
+    b2 = np.searchsorted(vocab, w2[~uni]).astype(np.int64)
+    key = b1 * V + b2
+    bkeys, inv = np.unique(key, return_inverse=True)
+    bcounts = np.bincount(inv, weights=c[~uni]).astype(np.int64)
+    c1 = np.bincount(bkeys // V, weights=bcounts, minlength=V).astype(np.int64)
+    return vocab, V, bkeys, bcounts, c1
+
+
+def q_lm_score(sf_dir: str):
+    import ray
+
+    from .queries_corpus import _mod_filter
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    ref_slice = tuple(range(_LM_REF))
+    partials = _mod_filter(docs, _LM_MOD, ref_slice).map_batches(
+        _lm_partial_counts, batch_format="pyarrow")
+    build = ray.remote(num_cpus=1)(_lm_build_model)
+    model_ref = build.remote(*partials.to_arrow_refs())
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, V, bkeys, bcounts, c1 = ray.get(model_ref)
+        words, doc_idx = _lm_flat_words(t)
+        # batch-vocab indirection: searchsorted once per DISTINCT batch word
+        uw, codes = np.unique(words, return_inverse=True)
+        pos = np.searchsorted(vocab, uw)
+        ok = (pos < len(vocab))
+        ok[ok] = vocab[pos[ok]] == uw[ok]
+        mid = np.where(ok, pos, -1)
+        wid = mid[codes] if len(codes) else np.empty(0, np.int64)
+        adj = doc_idx[1:] == doc_idx[:-1]
+        id1, id2 = wid[:-1][adj], wid[1:][adj]
+        bdoc = doc_idx[:-1][adj]
+        c1v = np.where(id1 >= 0, c1[np.maximum(id1, 0)], 0)
+        c2v = np.zeros(len(id1), np.int64)
+        both = (id1 >= 0) & (id2 >= 0)
+        if both.any():
+            k = id1[both] * V + id2[both]
+            p = np.searchsorted(bkeys, k)
+            hit = p < len(bkeys)
+            hit[hit] = bkeys[p[hit]] == k[hit]
+            sub = np.zeros(both.sum(), np.int64)
+            sub[hit] = bcounts[p[hit]]
+            c2v[both] = sub
+        nll = -np.log((c2v + 1.0) / (c1v + V))
+        sums = np.bincount(bdoc, weights=nll, minlength=len(t))
+        cnts = np.bincount(bdoc, minlength=len(t))
+        has = cnts > 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[has], pa.int64()),
+            "lm_score": pa.array(
+                _round6_half_up(sums[has] / cnts[has]), pa.float64()),
+        })
+
+    return _mod_filter(docs, _LM_MOD, ref_slice, negate=True).map_batches(
+        score, batch_format="pyarrow")
+
+
+SQL_LM_SCORE = f"""
+WITH n AS (SELECT doc_id, {_SQL_NORM_PADDED} AS norm FROM documents),
+t AS (SELECT doc_id,
+        list_filter(string_split(norm, ' '), x -> x <> '') AS ws FROM n),
+big AS (SELECT doc_id,
+          unnest(ws[1:len(ws)-1]) AS w1,
+          unnest(ws[2:len(ws)]) AS w2
+        FROM t WHERE len(ws) >= 2),
+c2 AS (SELECT w1, w2, count(*) AS c FROM big
+       WHERE doc_id % {_LM_MOD} < {_LM_REF} GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c FROM big
+       WHERE doc_id % {_LM_MOD} < {_LM_REF} GROUP BY w1),
+vocab AS (SELECT greatest(count(DISTINCT w), 1) AS v FROM
+            (SELECT unnest(ws) AS w FROM t
+             WHERE doc_id % {_LM_MOD} < {_LM_REF})),
+s AS (SELECT b.doc_id,
+        -ln((coalesce(c2.c, 0) + 1.0) / (coalesce(c1.c, 0) + vocab.v)) AS nll
+      FROM big b
+      LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      LEFT JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN vocab
+      WHERE b.doc_id % {_LM_MOD} >= {_LM_REF})
+SELECT doc_id, floor(avg(nll) * 1000000 + 0.5) / 1000000 AS lm_score
+FROM s GROUP BY doc_id
+"""
+
+
 WEB_QUERIES = {
     "url_dedup_latest": q_url_dedup_latest,
     "link_graph": q_link_graph,
     "gopher_quality": q_gopher_quality,
     "tfidf_topk": q_tfidf_topk,
+    "lm_score": q_lm_score,
 }
 
 WEB_ORACLES = {
@@ -401,6 +565,7 @@ WEB_ORACLES = {
     "link_graph": SQL_LINK_GRAPH,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "lm_score": SQL_LM_SCORE,
 }
 
 # Merge into the main catalog regardless of import order (queries.py tail

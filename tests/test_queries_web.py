@@ -229,7 +229,38 @@ def test_web_tier_partitioning_invariance(ray_session, tmp_path):
         return df[sorted(df.columns)].sort_values(
             sorted(df.columns)).reset_index(drop=True)
 
+    from doppel_speller_ray.pipelines.queries_web import q_lm_score
+
     for fn in (q_url_dedup_latest, q_gopher_quality, q_tfidf_topk,
-               q_weighted_sample):
+               q_weighted_sample, q_lm_score):
         a, b = canon(fn(str(one))), canon(fn(str(many)))
         pd.testing.assert_frame_equal(a, b), fn.__name__
+
+
+def test_lm_score_hand(ray_session, tmp_path):
+    """Hand-built Laplace bigram LM: ref doc 10 = 'a b a c' → V=3,
+    c1(a)=2, c1(b)=1, c2 all 1. Scored doc 13 'a b z' →
+    mean(-ln(2/5), -ln(1/4)); doc 14 all-OOV → -ln(1/3); <2-word,
+    empty and NULL docs are excluded; the ref doc is never scored."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from doppel_speller_ray.pipelines.queries_web import q_lm_score
+
+    tbl = pa.table({
+        "doc_id": pa.array([10, 13, 14, 15, 16, 17, 18], pa.int64()),
+        "text": pa.array(["a b a c", "a b z", "q r", "single", "",
+                          None, "café déjà vu"], pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    rows = {r["doc_id"]: r["lm_score"]
+            for r in q_lm_score(str(tmp_path)).take_all()}
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert set(rows) == {13, 14, 18}
+    assert rows[13] == r6((-math.log(2 / 5) - math.log(1 / 4)) / 2)
+    assert rows[14] == r6(-math.log(1 / 3))        # both words OOV
+    assert rows[18] == r6(-math.log(1 / 3))        # accents folded → OOV
