@@ -552,12 +552,140 @@ FROM s GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# PageRank — damped power iteration over the page link graph
+# ---------------------------------------------------------------------------
+# The canonical iterative web-graph operator (Page et al. 1999): each page
+# gets three deterministic out-links dst = (src·k) % N + 1 (k ∈ 1..3, same
+# synthesized-structure convention as q_link_graph), and rank is iterated
+# _PR_ITERS times with damping _PR_ALPHA and dangling-mass redistribution.
+#
+# Shape: the EDGE list is partition-resident and never shuffles — it is
+# materialized to object-store refs once and re-mapped per iteration; each
+# batch bincounts its edges' contributions into sparse (node_pos, mass)
+# partials, and ONE combine task per iteration folds partials + dangling +
+# damping into the next rank vector (object store, never the driver). The
+# rank vector is the broadcast-bounded side (|nodes| entries); at 10^12
+# nodes the same loop runs with rank as a Dataset and the contribution
+# step as an edges⋈rank hash join + dst groupby — the join machinery is
+# demonstrated in stages/verify.py; this entry pins the iteration
+# semantics.
+
+_PR_ITERS = 3
+_PR_ALPHA = 0.85
+_PR_FANOUT = (1, 2, 3)
+
+
+def q_pagerank(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    docs = _docs(sf_dir, ["doc_id"])
+    n_docs = docs.count()
+
+    def edges_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids] * len(_PR_FANOUT))
+        dst = np.concatenate([(ids * k) % n_docs + 1 for k in _PR_FANOUT])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges_refs = docs.map_batches(
+        edges_batch, batch_format="pyarrow").to_arrow_refs()
+
+    def _init_model(*tables):
+        live = [x for x in tables if x.num_columns]
+        t = pa.concat_tables(live, promote_options="none")
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        nodes = np.union1d(src, dst)
+        outd = np.bincount(np.searchsorted(nodes, src),
+                           minlength=len(nodes)).astype(np.float64)
+        rank = np.full(len(nodes), 1.0 / len(nodes))
+        return nodes, outd, rank
+
+    init = ray.remote(num_cpus=1)(_init_model)
+    model_ref = init.remote(*edges_refs)
+
+    def contrib(t: pa.Table, *, ref) -> pa.Table:
+        nodes, outd, rank = ray.get(ref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        m = np.bincount(di, weights=rank[si] / outd[si], minlength=len(nodes))
+        nz = np.flatnonzero(m)
+        return pa.table({"pos": pa.array(nz, pa.int64()),
+                         "m": pa.array(m[nz], pa.float64())})
+
+    def _step(model, *parts):
+        nodes, outd, rank = model
+        n = len(nodes)
+        mass = np.zeros(n)
+        for p in parts:
+            if p.num_columns:
+                pos = p["pos"].to_numpy(zero_copy_only=False)
+                mass[pos] += p["m"].to_numpy(zero_copy_only=False)
+        dangling = rank[outd == 0].sum()
+        new = (1 - _PR_ALPHA) / n + _PR_ALPHA * (mass + dangling / n)
+        return nodes, outd, new
+
+    step = ray.remote(num_cpus=1)(_step)
+    for _ in range(_PR_ITERS):
+        parts = rd.from_arrow_refs(edges_refs).map_batches(
+            contrib, batch_format="pyarrow", fn_kwargs={"ref": model_ref})
+        model_ref = step.remote(model_ref, *parts.to_arrow_refs())
+
+    nodes, _, rank = ray.get(model_ref)
+    return rd.from_arrow(pa.table({
+        "node_id": pa.array(nodes, pa.int64()),
+        "pagerank": pa.array(_round6_half_up(rank), pa.float64()),
+    }))
+
+
+def _sql_pagerank() -> str:
+    """Unrolled power iteration, generated from the SAME constants as the
+    pipeline (_PR_ITERS/_PR_ALPHA/_PR_FANOUT) so a changed default cannot
+    silently diverge the paired oracle."""
+    ks = ", ".join(str(k) for k in _PR_FANOUT)
+    a = repr(_PR_ALPHA)
+    head = f"""
+WITH e AS (SELECT doc_id AS src, (doc_id * k) % nn.nn + 1 AS dst
+           FROM documents
+           CROSS JOIN (SELECT unnest([{ks}]) AS k)
+           CROSS JOIN (SELECT count(*) AS nn FROM documents) nn),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nv AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outd AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS r FROM nodes)"""
+    body = ""
+    for i in range(1, _PR_ITERS + 1):
+        p = i - 1
+        body += f""",
+dg{i} AS (SELECT coalesce(sum(r), 0) AS dm FROM r{p}
+          WHERE id NOT IN (SELECT src FROM outd)),
+m{i} AS (SELECT e.dst AS id, sum(r{p}.r / outd.d) AS m
+         FROM e JOIN r{p} ON e.src = r{p}.id
+                JOIN outd ON e.src = outd.src
+         GROUP BY e.dst),
+r{i} AS (SELECT nodes.id,
+           (1 - {a}) / (SELECT n FROM nv)
+           + {a} * (coalesce(m.m, 0)
+                    + (SELECT dm FROM dg{i}) / (SELECT n FROM nv)) AS r
+         FROM nodes LEFT JOIN m{i} m ON nodes.id = m.id)"""
+    return head + body + f"""
+SELECT id AS node_id, floor(r * 1000000 + 0.5) / 1000000 AS pagerank
+FROM r{_PR_ITERS}
+"""
+
+
 WEB_QUERIES = {
     "url_dedup_latest": q_url_dedup_latest,
     "link_graph": q_link_graph,
     "gopher_quality": q_gopher_quality,
     "tfidf_topk": q_tfidf_topk,
     "lm_score": q_lm_score,
+    "pagerank": q_pagerank,
 }
 
 WEB_ORACLES = {
@@ -566,6 +694,7 @@ WEB_ORACLES = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "lm_score": SQL_LM_SCORE,
+    "pagerank": _sql_pagerank(),
 }
 
 # Merge into the main catalog regardless of import order (queries.py tail

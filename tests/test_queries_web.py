@@ -229,10 +229,10 @@ def test_web_tier_partitioning_invariance(ray_session, tmp_path):
         return df[sorted(df.columns)].sort_values(
             sorted(df.columns)).reset_index(drop=True)
 
-    from doppel_speller_ray.pipelines.queries_web import q_lm_score
+    from doppel_speller_ray.pipelines.queries_web import q_lm_score, q_pagerank
 
     for fn in (q_url_dedup_latest, q_gopher_quality, q_tfidf_topk,
-               q_weighted_sample, q_lm_score):
+               q_weighted_sample, q_lm_score, q_pagerank):
         a, b = canon(fn(str(one))), canon(fn(str(many)))
         pd.testing.assert_frame_equal(a, b), fn.__name__
 
@@ -264,3 +264,26 @@ def test_lm_score_hand(ray_session, tmp_path):
     assert rows[13] == r6((-math.log(2 / 5) - math.log(1 / 4)) / 2)
     assert rows[14] == r6(-math.log(1 / 3))        # both words OOV
     assert rows[18] == r6(-math.log(1 / 3))        # accents folded → OOV
+
+
+def test_pagerank_invariants(ray_session, tmp_path):
+    """Probability-mass conservation (Σrank = 1 up to rounding), every
+    node positive, and the pure-sink node (a dst that is never a src)
+    exists and received dangling-redistributed mass only."""
+    import pyarrow.parquet as pq
+
+    from doppel_speller_ray.pipelines.queries_web import q_pagerank
+
+    # doc_ids 0..9: dsts are (id*k) % 10 + 1 ∈ 1..10 → node 10 is a pure
+    # sink (never a src), node 0 is a pure source (never a dst).
+    pq.write_table(pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                             "text": pa.array(["x"] * 10)}),
+                   tmp_path / "documents.parquet")
+    df = q_pagerank(str(tmp_path)).to_pandas()
+    assert len(df) == 11                      # 0..9 sources + sink 10
+    assert abs(df.pagerank.sum() - 1.0) < 1e-4
+    assert (df.pagerank > 0).all()
+    sink = df.set_index("node_id").pagerank
+    # the pure source receives only teleport + dangling mass — strictly
+    # less than any linked-to node's rank
+    assert sink[0] <= sink.drop(0).min()
