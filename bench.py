@@ -130,7 +130,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "events_hourly", "ann_topk", "extract_text", "boilerplate",
         "pii_redact", "line_dedup", "pack_sequences",
         "url_dedup_latest", "link_graph", "gopher_quality", "tfidf_topk",
-        "vocab_encode", "char_entropy", "lm_score", "pagerank"))
+        "vocab_encode", "char_entropy", "lm_score", "pagerank",
+        "pmi_bigrams"))
     secondary["simhash"] = Q.q_simhash_values
     secondary["fingerprint"] = Q.q_fingerprint_values
     for name, fn in secondary.items():

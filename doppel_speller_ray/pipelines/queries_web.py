@@ -679,6 +679,131 @@ FROM r{_PR_ITERS}
 """
 
 
+# ---------------------------------------------------------------------------
+# PMI collocations — top-k word bigrams by pointwise mutual information
+# ---------------------------------------------------------------------------
+# Classic corpus-analysis operator (Church & Hanks 1990): score each
+# adjacent word pair by ln(c12·T / (c1·c2)) where c12 is the bigram count,
+# c1/c2 the first-/second-position marginals and T the total bigram count,
+# keep pairs seen ≥ _PMI_MIN_COUNT times, return the global top-k.
+#
+# Scale shape: per-batch PARTIAL bigram counts (np.unique over the batch's
+# adjacency keys) pre-aggregate before the ONE (w1,w2) groupby shuffle —
+# the only all-to-all, over vocab²-bounded pre-summed rows, not corpus
+# tokens. The marginals are derived FROM the grouped table (c1 = Σ_w2 c12
+# exactly), packed by one Ray task into sorted-vocab numpy arrays and
+# broadcast — vocab is the small side by Heaps's law. Scoring re-reads the
+# grouped blocks by ref (no re-execution), prunes each batch to its own
+# top-k under the SAME total order as the final sort (safe: the global
+# top-k is a subset of the union of per-batch top-ks), so the final
+# sort+limit sees ≤ k·num_blocks rows. c12·T stays int64-exact below 2^53
+# (guaranteed at test scale; the float64 path above it shifts the 6th
+# decimal only at measure-zero boundaries).
+
+_PMI_MIN_COUNT = 3
+_PMI_TOPK = 100
+
+
+def _pmi_partial_counts(t: pa.Table) -> pa.Table:
+    """Batch → pre-aggregated (w1, w2, c) adjacent-bigram partial counts."""
+    words, doc_idx = _lm_flat_words(t)
+    uw, codes = np.unique(words, return_inverse=True)
+    nu = max(len(uw), 1)
+    adj = doc_idx[1:] == doc_idx[:-1]
+    key = codes[:-1][adj] * nu + codes[1:][adj]
+    bk, bc = np.unique(key, return_counts=True)
+    return pa.table({
+        "w1": pa.array(uw[bk // nu], pa.string()),
+        "w2": pa.array(uw[bk % nu], pa.string()),
+        "c": pa.array(bc.astype(np.int64), pa.int64()),
+    })
+
+
+def q_pmi_bigrams(sf_dir: str):
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    grouped = docs.map_batches(
+        _pmi_partial_counts, batch_format="pyarrow"
+    ).groupby(["w1", "w2"]).aggregate(Sum("c", alias_name="c"))
+    grouped_refs = grouped.to_arrow_refs()
+
+    def _marginals(*tables):
+        live = [x for x in tables if x.num_columns]
+        if not live:
+            return (np.empty(0, object), np.empty(0, np.int64),
+                    np.empty(0, object), np.empty(0, np.int64), 0)
+        t = pa.concat_tables(live, promote_options="none")
+        w1 = np.asarray(t["w1"].combine_chunks(), dtype=object)
+        w2 = np.asarray(t["w2"].combine_chunks(), dtype=object)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v1, i1 = np.unique(w1, return_inverse=True)
+        v2, i2 = np.unique(w2, return_inverse=True)
+        c1 = np.bincount(i1, weights=c, minlength=len(v1)).astype(np.int64)
+        c2 = np.bincount(i2, weights=c, minlength=len(v2)).astype(np.int64)
+        return v1, c1, v2, c2, int(c.sum())
+
+    marg_ref = ray.remote(num_cpus=1)(_marginals).remote(*grouped_refs)
+
+    def score(t: pa.Table) -> pa.Table:
+        v1, c1, v2, c2, total = ray.get(marg_ref)
+        # to_arrow_refs can yield SCHEMA-LESS empty blocks (house gotcha)
+        c = (t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+             if t.num_columns else np.empty(0, np.int64))
+        keep = c >= _PMI_MIN_COUNT
+        if not keep.any():
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        w1 = np.asarray(t["w1"].combine_chunks(), dtype=object)[keep]
+        w2 = np.asarray(t["w2"].combine_chunks(), dtype=object)[keep]
+        c = c[keep]
+        m1 = c1[np.searchsorted(v1, w1)]
+        m2 = c2[np.searchsorted(v2, w2)]
+        pmi = _round6_half_up(np.log((c * total) / (m1 * m2)))
+        # per-batch prune under the final (pmi desc, w1, w2) total order
+        order = np.lexsort((w2, w1, -pmi))[:_PMI_TOPK]
+        return pa.table({
+            "w1": pa.array(w1[order], pa.string()),
+            "w2": pa.array(w2[order], pa.string()),
+            "c": pa.array(c[order], pa.int64()),
+            "pmi": pa.array(pmi[order], pa.float64()),
+        })
+
+    scored = rd.from_arrow_refs(grouped_refs).map_batches(
+        score, batch_format="pyarrow")
+    return scored.sort(["pmi", "w1", "w2"],
+                       descending=[True, False, False]).limit(_PMI_TOPK)
+
+
+SQL_PMI_BIGRAMS = f"""
+WITH n AS (SELECT doc_id, {_SQL_NORM_PADDED} AS norm FROM documents),
+t AS (SELECT doc_id,
+        list_filter(string_split(norm, ' '), x -> x <> '') AS ws FROM n),
+big AS (SELECT doc_id,
+          unnest(ws[1:len(ws)-1]) AS w1,
+          unnest(ws[2:len(ws)]) AS w2
+        FROM t WHERE len(ws) >= 2),
+c12 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+m1 AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY w1),
+m2 AS (SELECT w2, sum(c) AS c2 FROM c12 GROUP BY w2),
+tot AS (SELECT sum(c) AS total FROM c12)
+SELECT c12.w1, c12.w2, c12.c,
+       floor(ln((c12.c * tot.total) / (m1.c1 * m2.c2)) * 1000000 + 0.5)
+         / 1000000 AS pmi
+FROM c12
+JOIN m1 ON c12.w1 = m1.w1
+JOIN m2 ON c12.w2 = m2.w2
+CROSS JOIN tot
+WHERE c12.c >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, c12.w1, c12.w2
+LIMIT {_PMI_TOPK}
+"""
+
+
 WEB_QUERIES = {
     "url_dedup_latest": q_url_dedup_latest,
     "link_graph": q_link_graph,
@@ -686,6 +811,7 @@ WEB_QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "lm_score": q_lm_score,
     "pagerank": q_pagerank,
+    "pmi_bigrams": q_pmi_bigrams,
 }
 
 WEB_ORACLES = {
@@ -695,6 +821,7 @@ WEB_ORACLES = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "lm_score": SQL_LM_SCORE,
     "pagerank": _sql_pagerank(),
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
 }
 
 # Merge into the main catalog regardless of import order (queries.py tail
