@@ -114,6 +114,32 @@ def extract_links_flat(html: pa.Array | pa.ChunkedArray):
     return urls, doc_idx
 
 
+def extract_anchors_flat(html: pa.Array | pa.ChunkedArray):
+    """Vectorized ``(urls, texts, doc_idx)`` — one row per complete
+    ``<a href="URL">TEXT</a>`` occurrence (TEXT up to the first ``<``), in
+    document order. Same split-on-literal + one-RE2 shape as
+    :func:`extract_links_flat`; fragments without a well-formed
+    ``">TEXT<`` tail (unclosed anchors) are dropped, so the two kernels
+    can disagree on malformed HTML by design."""
+    import numpy as np
+
+    s = decode_utf8_array(html)
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    parts = pc.split_pattern(s, pattern=_HREF_OPEN)
+    offsets = np.asarray(parts.offsets)
+    lens = np.diff(offsets)
+    keep = np.ones(len(parts.values), dtype=bool)
+    keep[offsets[:-1][lens > 0]] = False
+    doc_idx = np.repeat(np.arange(len(s), dtype=np.int64), lens)[keep]
+    frags = parts.values.filter(pa.array(keep))
+    m = pc.extract_regex(frags, pattern='^(?P<u>[^"]*)">(?P<t>[^<]*)<')
+    ok = pc.is_valid(m).to_numpy(zero_copy_only=False)
+    urls = pc.struct_field(m, "u").filter(pa.array(ok))
+    texts = pc.struct_field(m, "t").filter(pa.array(ok))
+    return urls, texts, doc_idx[ok]
+
+
 def collapse_ws_array(text: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
     """``\\s+`` → single space + ASCII-space trim (steps 6 only) — the
     expected value of ``extract(wrap(escape(text)))``."""

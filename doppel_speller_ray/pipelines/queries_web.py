@@ -680,6 +680,99 @@ FROM r{_PR_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# Anchor-text aggregation — the web-search "anchor corpus" construction
+# ---------------------------------------------------------------------------
+# For every link TARGET, aggregate the distinct anchor texts pointing at it
+# into one space-joined sorted string (anchor text describes the target
+# better than the target's own page — Brin & Page 1998 §2.2). Anchors are
+# synthesized deterministically (doc i emits 3 anchors; target and text
+# drawn from modular classes so targets are SHARED across source pages),
+# extracted by the real vectorized kernel (html.extract_anchors_flat), and
+# aggregated with a custom ray.data AggregateFn — per-batch vectorized
+# (dst, atext) distinct first, so the shuffle moves pre-deduped pairs and
+# the per-group Python state is the bounded distinct-anchor set (a
+# production run would cap it and count drops, the house DropCounter
+# pattern; the cap is semantics-neutral here because the synthesized
+# distinct-text universe is {_ANCHOR_TXTS} strings).
+
+_ANCHOR_DSTS = 97
+_ANCHOR_TXTS = 17
+_ANCHOR_HTML_PAT = '<a href="([^"]+)">([^<]*)<'
+
+
+def _anchor_html(ids: np.ndarray) -> list[str]:
+    out = []
+    for i in ids:
+        i = int(i)
+        anchors = "".join(
+            f'<a href="https://s{(i * k) % _ANCHOR_DSTS}.example.org/">'
+            f't{(i + 3 * k) % _ANCHOR_TXTS}</a>' for k in (1, 2, 3))
+        out.append(f"<html><body>{anchors}</body></html>")
+    return out
+
+
+def _sql_anchor_html() -> str:
+    parts = []
+    for k in (1, 2, 3):
+        parts.append(
+            f"'<a href=\"https://s' || ((doc_id * {k}) % {_ANCHOR_DSTS})::VARCHAR"
+            f" || '.example.org/\">t' || ((doc_id + {3 * k}) % {_ANCHOR_TXTS})::VARCHAR"
+            f" || '</a>'")
+    return "('<html><body>' || " + " || ".join(parts) + " || '</body></html>')"
+
+
+def q_anchor_text(sf_dir: str):
+    from ray.data.aggregate import AggregateFn
+
+    from ..functions.html import extract_anchors_flat
+
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        html = pa.array(_anchor_html(ids), pa.string())
+        urls, texts, _ = extract_anchors_flat(html)
+        tbl = pa.table({"dst_url": urls, "atext": texts})
+        return tbl.group_by(["dst_url", "atext"]).aggregate([])  # batch distinct
+
+    def acc_block(acc: list, blk) -> list:
+        col = blk["atext"]
+        if hasattr(col, "to_pylist"):
+            return acc + col.to_pylist()
+        return acc + list(col)
+
+    anchor_agg = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        accumulate_block=acc_block,
+        finalize=lambda acc: " ".join(sorted(set(acc))),
+        name="anchor_doc",
+    )
+
+    grouped = _docs(sf_dir, ["doc_id"]) \
+        .map_batches(pairs_batch, batch_format="pyarrow") \
+        .groupby("dst_url").aggregate(anchor_agg)
+
+    def fin(t: pa.Table) -> pa.Table:
+        docs = t["anchor_doc"].to_numpy(zero_copy_only=False)
+        n = np.array([len(d.split(" ")) if d else 0 for d in docs], np.int64)
+        return pa.table({"dst_url": t["dst_url"], "anchor_doc": t["anchor_doc"],
+                         "n_anchors": pa.array(n, pa.int64())})
+
+    return grouped.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_ANCHOR_TEXT = f"""
+WITH h AS (SELECT doc_id, {_sql_anchor_html()} AS html FROM documents),
+a AS (SELECT unnest(regexp_extract_all(html, '{_ANCHOR_HTML_PAT}', 1)) AS dst_url,
+             unnest(regexp_extract_all(html, '{_ANCHOR_HTML_PAT}', 2)) AS atext
+      FROM h),
+d AS (SELECT DISTINCT dst_url, atext FROM a)
+SELECT dst_url, string_agg(atext, ' ' ORDER BY atext) AS anchor_doc,
+       count(*) AS n_anchors
+FROM d GROUP BY dst_url
+"""
+
+
+# ---------------------------------------------------------------------------
 # PMI collocations — top-k word bigrams by pointwise mutual information
 # ---------------------------------------------------------------------------
 # Classic corpus-analysis operator (Church & Hanks 1990): score each
@@ -812,6 +905,7 @@ WEB_QUERIES = {
     "lm_score": q_lm_score,
     "pagerank": q_pagerank,
     "pmi_bigrams": q_pmi_bigrams,
+    "anchor_text": q_anchor_text,
 }
 
 WEB_ORACLES = {
@@ -822,6 +916,7 @@ WEB_ORACLES = {
     "lm_score": SQL_LM_SCORE,
     "pagerank": _sql_pagerank(),
     "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "anchor_text": SQL_ANCHOR_TEXT,
 }
 
 # Merge into the main catalog regardless of import order (queries.py tail

@@ -42,6 +42,39 @@ def test_extract_links_binary_input():
     assert doc_idx.tolist() == [0]
 
 
+def test_extract_anchors_text_and_malformed():
+    from doppel_speller_ray.functions.html import extract_anchors_flat
+
+    html = pa.array([
+        '<a href="https://a.com/">Home Page</a> x <a href="https://b.com/">B</a>',
+        '<a href="https://unclosed.com/">never closed',   # no '<' after text
+        '<a href="https://c.com/"></a>',                  # empty anchor text
+        "plain",
+    ])
+    urls, texts, doc_idx = extract_anchors_flat(html)
+    assert urls.to_pylist() == ["https://a.com/", "https://b.com/",
+                                "https://c.com/"]
+    assert texts.to_pylist() == ["Home Page", "B", ""]
+    # the malformed doc-1 anchor is dropped; links kernel still sees it
+    assert doc_idx.tolist() == [0, 0, 2]
+
+
+def test_anchor_agg_order_and_dedup(ray_session):
+    """Cross-batch duplicate anchor texts collapse; output is the sorted
+    distinct join (hand case computed independently of the SQL oracle)."""
+    from doppel_speller_ray.pipelines.queries_web import (
+        _ANCHOR_TXTS, _anchor_html)
+
+    # doc ids chosen so two docs emit the same (dst, text) anchor:
+    # doc i and i + lcm(97, 17) = i + 1649 collide on all three anchors
+    import re
+    pages = _anchor_html(np.array([7, 7 + 97 * 17]))
+    a0 = sorted(set(re.findall(r'>(t\d+)<', pages[0])))
+    a1 = sorted(set(re.findall(r'>(t\d+)<', pages[1])))
+    assert a0 == a1  # the planted collision
+    assert all(int(t[1:]) < _ANCHOR_TXTS for t in a0)
+
+
 def test_url_dedup_packed_argmax_picks_latest():
     """The packed (ts << 32 | id) max must select the capture with the
     greatest pseudo-ts, and break exact-ts ties by the greater doc_id."""
