@@ -93,6 +93,19 @@ def _checkpoint(ds, cfg: DedupConfig, name: str, input_token: str = ""):
 DISTRIBUTED_CC_PAIR_THRESHOLD = 200_000_000
 
 
+def _pin_refs(ds, cfg: DedupConfig):
+    """Materialize a fan-out Dataset as object-store block refs (no-op on
+    the checkpointed path, where the stage Parquet already serves reruns).
+    verified_pairs has three consumers — the CC-switch count(), the
+    dup-pair projection into CC, and the caller via DedupResult — and each
+    would otherwise re-run the whole candidate + verify chain."""
+    if cfg.checkpoint_dir:
+        return ds
+    import ray.data as rd
+
+    return rd.from_arrow_refs(ds.to_arrow_refs())
+
+
 def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_id",
                    text_col: str = "text", num_partitions: int | None = None,
                    use_distributed_cc: bool | None = None) -> DedupResult:
@@ -120,6 +133,16 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
     # --- exact tier (one shuffle) -----------------------------------------
     with_rep = exact_dedup(docs_all)
     with_rep = _checkpoint(with_rep, cfg, "docs_with_rep", input_token)
+    if not cfg.checkpoint_dir:
+        # with_rep fans out to THREE consumers (reps branch, exact_pairs →
+        # CC, final cluster assignment); left lazy, each one would re-run
+        # the read + normalize + exact shuffle. Collect the block refs once
+        # (blocks stay in the object store and spill if oversized — the
+        # checkpointed path plays the same role via Parquet) and serve all
+        # consumers from them.
+        import ray.data as rd
+
+        with_rep = rd.from_arrow_refs(with_rep.to_arrow_refs())
     reps, exact_pairs = split_exact(with_rep)
     from ..stages.prepare import add_shingles_batch
 
@@ -157,6 +180,7 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
         # verify stage reads them zero-copy, streams (no candidate barrier)
         verified = verify_pairs_broadcast(cand, reps, cfg, docs_refs=reps_refs)
         verified = _checkpoint(verified, cfg, "verified_pairs", input_token)
+        verified = _pin_refs(verified, cfg)
     else:
         # join path: materialize the (tiny-rows) candidate ids — feeds the
         # two payload joins without recompute, and guards the no-candidates
@@ -174,6 +198,7 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
                 verify_batch, batch_format="pyarrow", fn_kwargs={"cfg": cfg}
             )
             verified = _checkpoint(verified, cfg, "verified_pairs", input_token)
+            verified = _pin_refs(verified, cfg)
 
     # --- connected components + assignment --------------------------------
     def dup_project(t: pa.Table) -> pa.Table:
