@@ -1002,7 +1002,59 @@ GROUP BY cc.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Longest repeated substring — suffix-array repetition signal
+# ---------------------------------------------------------------------------
+# Per-doc longest substring occurring at least twice (the intra-document
+# repetition signal behind "remove documents whose longest repeat exceeds
+# k" curation rules; Lee et al. 2022 use the same suffix-array machinery
+# cross-doc). Computed with a REAL suffix array (functions/suffixes.py:
+# numpy prefix-doubling + Kasai LCP; the answer is the max adjacent-rank
+# LCP) over the first _LRS_CAP chars of the normalized text — the cap
+# bounds per-doc work AND keeps the O(n²)-substring SQL oracle tractable.
+# Shape: pure map_batches, embarrassingly parallel, zero shuffle; the
+# cross-doc partition-level variant is documented in the module docstring.
+
+_LRS_CAP = 192
+
+
+def q_longest_repeat(sf_dir: str):
+    from ..functions.normalize import normalize_array
+    from ..functions.suffixes import longest_repeats_batch
+    from .queries import _QCFG
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        capped = pc.utf8_slice_codeunits(norm, 0, _LRS_CAP)
+        lens = longest_repeats_batch(capped.to_pylist())
+        return pa.table({"doc_id": t["doc_id"],
+                         "lrs_len": pa.array(lens, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+# LRS length = max k such that some k-gram of the capped norm repeats;
+# the oracle enumerates every (start, k) substring pair per doc (bounded
+# by _LRS_CAP² — the reason for the cap) and takes the max repeating k.
+SQL_LONGEST_REPEAT = f"""
+WITH n AS (SELECT doc_id, substr({_SQL_NORM}, 1, {_LRS_CAP}) AS p
+           FROM documents),
+subs AS (SELECT n.doc_id, k.k, substr(n.p, i.i, k.k) AS s
+         FROM n,
+              generate_series(1, {_LRS_CAP}) i(i),
+              generate_series(1, {_LRS_CAP}) k(k)
+         WHERE i.i + k.k <= length(n.p) + 1),
+rep AS (SELECT doc_id, max(k) AS m FROM subs
+        GROUP BY doc_id, k, s HAVING count(*) >= 2),
+best AS (SELECT doc_id, max(m) AS m FROM rep GROUP BY doc_id)
+SELECT n.doc_id, coalesce(best.m, 0) AS lrs_len
+FROM n LEFT JOIN best ON n.doc_id = best.doc_id
+"""
+
+
 CORPUS_QUERIES = {
+    "longest_repeat": q_longest_repeat,
     "vocab_encode": q_vocab_encode,
     "char_entropy": q_char_entropy,
     "pii_redact": q_pii_redact,
@@ -1018,6 +1070,7 @@ CORPUS_QUERIES = {
 }
 
 CORPUS_ORACLES = {
+    "longest_repeat": SQL_LONGEST_REPEAT,
     "vocab_encode": SQL_VOCAB_ENCODE,
     "char_entropy": SQL_CHAR_ENTROPY,
     "pii_redact": _sql_pii_redact(),
