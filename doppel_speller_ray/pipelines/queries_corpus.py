@@ -1053,8 +1053,44 @@ FROM n LEFT JOIN best ON n.doc_id = best.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-doc suffix-array substring pairs (stages/sa_substring.py)
+# ---------------------------------------------------------------------------
+# All doc pairs within a doc_id % _SA_PARTS partition sharing a common
+# substring of length ≥ SA_MIN_LEN of the capped normalized text — found
+# EXACTLY from one partition-level suffix array (exactness argument in the
+# stage docstring). The oracle states the same set declaratively: a common
+# substring of length ≥ L exists iff a shared L-gram does.
+
+
+def q_sa_substring_pairs(sf_dir: str):
+    from ..stages.sa_substring import sa_substring_pairs
+    from .queries import _norm_docs_table
+
+    docs = _norm_docs_table(sf_dir).map_batches(
+        lambda t: t.rename_columns(["doc_id", "norm_text"]),
+        batch_format="pyarrow")
+    return sa_substring_pairs(docs)
+
+
+def _sql_sa_substring() -> str:
+    from ..stages.sa_substring import SA_CAP, SA_MIN_LEN, SA_PARTS
+
+    return f"""
+WITH n AS (SELECT doc_id, substr({_SQL_NORM}, 1, {SA_CAP}) AS p
+           FROM documents),
+g AS (SELECT doc_id, doc_id % {SA_PARTS} AS part, substr(p, i.i, {SA_MIN_LEN}) AS s
+      FROM n, generate_series(1, {SA_CAP}) i(i)
+      WHERE i.i + {SA_MIN_LEN} <= length(p) + 1),
+d AS (SELECT DISTINCT part, s, doc_id FROM g)
+SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+FROM d a JOIN d b ON a.part = b.part AND a.s = b.s AND a.doc_id < b.doc_id
+"""
+
+
 CORPUS_QUERIES = {
     "longest_repeat": q_longest_repeat,
+    "sa_substring_pairs": q_sa_substring_pairs,
     "vocab_encode": q_vocab_encode,
     "char_entropy": q_char_entropy,
     "pii_redact": q_pii_redact,
@@ -1071,6 +1107,7 @@ CORPUS_QUERIES = {
 
 CORPUS_ORACLES = {
     "longest_repeat": SQL_LONGEST_REPEAT,
+    "sa_substring_pairs": _sql_sa_substring(),
     "vocab_encode": SQL_VOCAB_ENCODE,
     "char_entropy": SQL_CHAR_ENTROPY,
     "pii_redact": _sql_pii_redact(),
