@@ -1088,9 +1088,88 @@ FROM d a JOIN d b ON a.part = b.part AND a.s = b.s AND a.doc_id < b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Passage chunking — fixed word window + stride (RAG / pretraining chunks)
+# ---------------------------------------------------------------------------
+# Split each doc into overlapping word windows (window _CHUNK_W, stride
+# _CHUNK_S): the standard retrieval-corpus / long-doc-pretraining chunker.
+# Shape: pure flat-map inside map_batches — one output row per chunk, zero
+# shuffle, streams at read bandwidth. The per-chunk join is a Python
+# ' '.join over the already-split word slice (string assembly, not
+# compute); everything positional is numpy over the flattened word buffer.
+
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+# padded-norm mirror (normalize_array zero-pads norms shorter than the
+# 3-gram width — same contract queries_web._SQL_NORM_PADDED documents;
+# duplicated here because the module tails cross-merge and a top-level
+# import would cycle)
+_SQL_NORM_PAD = (
+    f"(CASE WHEN length(coalesce({_SQL_NORM}, '')) < 3 "
+    f"THEN lpad(coalesce({_SQL_NORM}, ''), 3, '0') ELSE {_SQL_NORM} END)"
+)
+
+
+def q_chunk_passages(sf_dir: str):
+    from ..functions.normalize import normalize_array
+    from .queries import _QCFG
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        wl = pc.split_pattern(norm, pattern=" ")
+        if isinstance(wl, pa.ChunkedArray):
+            wl = wl.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.asarray(wl.offsets)
+        words = wl.values.to_pylist()
+        out_id, out_chunk, out_txt, out_n = [], [], [], []
+        for r in range(len(t)):
+            ws = [w for w in words[offs[r]:offs[r + 1]] if w]
+            n = len(ws)
+            s, c = 0, 0
+            # a start is emitted only if the PREVIOUS window didn't already
+            # reach the end — no fully-contained redundant tail chunk
+            while s < n and (c == 0 or s - _CHUNK_S + _CHUNK_W < n):
+                e = min(s + _CHUNK_W, n)
+                out_id.append(ids[r])
+                out_chunk.append(c)
+                out_txt.append(" ".join(ws[s:e]))
+                out_n.append(e - s)
+                s += _CHUNK_S
+                c += 1
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_chunk, pa.int64()),
+            "passage": pa.array(out_txt, pa.string()),
+            "n_words": pa.array(out_n, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_CHUNK_PASSAGES = f"""
+WITH n AS (SELECT doc_id, {_SQL_NORM_PAD} AS norm FROM documents),
+t AS (SELECT doc_id,
+        list_filter(string_split(norm, ' '), x -> x <> '') AS ws FROM n),
+c AS (SELECT doc_id, s.s AS chunk_id,
+        array_to_string(ws[s.s * {_CHUNK_S} + 1 :
+                           least(s.s * {_CHUNK_S} + {_CHUNK_W}, len(ws))],
+                        ' ') AS passage,
+        least(s.s * {_CHUNK_S} + {_CHUNK_W}, len(ws)) - s.s * {_CHUNK_S}
+          AS n_words
+      FROM t, generate_series(0, 63) s(s)
+      WHERE s.s * {_CHUNK_S} < len(ws)
+        AND (s.s = 0 OR (s.s - 1) * {_CHUNK_S} + {_CHUNK_W} < len(ws)))
+SELECT doc_id, chunk_id, passage, n_words FROM c
+"""
+
+
 CORPUS_QUERIES = {
     "longest_repeat": q_longest_repeat,
     "sa_substring_pairs": q_sa_substring_pairs,
+    "chunk_passages": q_chunk_passages,
     "vocab_encode": q_vocab_encode,
     "char_entropy": q_char_entropy,
     "pii_redact": q_pii_redact,
@@ -1108,6 +1187,7 @@ CORPUS_QUERIES = {
 CORPUS_ORACLES = {
     "longest_repeat": SQL_LONGEST_REPEAT,
     "sa_substring_pairs": _sql_sa_substring(),
+    "chunk_passages": SQL_CHUNK_PASSAGES,
     "vocab_encode": SQL_VOCAB_ENCODE,
     "char_entropy": SQL_CHAR_ENTROPY,
     "pii_redact": _sql_pii_redact(),

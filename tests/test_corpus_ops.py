@@ -261,3 +261,26 @@ def test_prefix_sum_ops_partitioning_invariance(ray_session, mini_docs):
     # ranks are a permutation 0..n-1
     ranks = sorted(dict(dict(x[1]))["rank"] for x in base_rank)
     assert ranks == list(range(len(base_rank)))
+
+
+def test_chunk_passages_window_boundaries(ray_session, tmp_path):
+    """Hand-checked window/stride math at the exact-W and W+1 boundaries:
+    n<=64 -> one chunk; n=65 -> second chunk starts at 48 with 17 words
+    overlap-containing; chunks reassemble the doc (stride coverage)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doppel_speller_ray.pipelines import queries_corpus as QC
+
+    w64 = " ".join(f"w{i}" for i in range(64))
+    w65 = " ".join(f"v{i}" for i in range(65))
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                             "text": pa.array([w64, w65])}),
+                   f"{tmp_path}/documents.parquet")
+    out = QC.q_chunk_passages(str(tmp_path)).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    d1 = out[out.doc_id == 1]
+    assert list(d1.n_words) == [64] and list(d1.chunk_id) == [0]
+    d2 = out[out.doc_id == 2]
+    assert list(d2.n_words) == [64, 17] and list(d2.chunk_id) == [0, 1]
+    assert d2.passage.iloc[1].split(" ") == [f"v{i}" for i in range(48, 65)]
