@@ -1166,10 +1166,153 @@ SELECT doc_id, chunk_id, passage, n_words FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed k-means over the embeddings table (Lloyd, k unrolled iters)
+# ---------------------------------------------------------------------------
+# The canonical iterative-ML-over-Dataset shape (same harness as
+# queries_web.q_pagerank): embedding blocks are materialized ONCE as
+# object-store refs and re-mapped per iteration; each batch computes
+# nearest-centroid assignments (vectorized (n,k,d) squared distances) and
+# emits per-cluster partial (sum, count) rows; ONE combine task per
+# iteration folds partials into the next centroid matrix in the object
+# store — never on the driver. Init is deterministic (the k smallest
+# vec_ids), empty clusters keep their previous centroid, distance ties
+# break to the lowest cluster — each rule mirrored in the unrolled SQL.
+# Output is the final DISCRETE assignment (vec_id, cluster_id): robust to
+# engine-order float summation ulps (an assignment flips only on an exact
+# distance tie).
+
+_KM_K = 4
+_KM_ITERS = 3
+
+
+def q_kmeans_embed(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    from .queries import _read
+
+    emb_refs = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .to_arrow_refs()
+
+    def _mat(t: pa.Table):
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t["embedding"].combine_chunks()
+        v = np.asarray(e.values, dtype=np.float64).reshape(len(t), -1)
+        return ids, v
+
+    def _init(*tables):
+        live = [x for x in tables if x.num_columns]
+        t = pa.concat_tables(live, promote_options="none")
+        ids, v = _mat(t)
+        order = np.argsort(ids)[:_KM_K]
+        return v[order]  # cluster c = c-th smallest vec_id
+
+    init = ray.remote(num_cpus=1)(_init)
+    cent_ref = init.remote(*emb_refs)
+
+    def partial(t: pa.Table, *, ref) -> pa.Table:
+        cent = ray.get(ref)
+        if not t.num_columns:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "n": pa.array([], pa.int64())})
+        _, v = _mat(t)
+        d = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)  # ties -> lowest cluster
+        k, dim = cent.shape
+        sums = np.zeros((k, dim))
+        np.add.at(sums, a, v)
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+            "s": pa.array(list(sums), pa.list_(pa.float64())),
+            "n": pa.array(cnt, pa.int64()),
+        })
+
+    def _step(cent, *parts):
+        k, dim = cent.shape
+        sums = np.zeros((k, dim))
+        cnt = np.zeros(k, np.int64)
+        for p in parts:
+            if p.num_columns and len(p):
+                c = p["cluster"].to_numpy(zero_copy_only=False)
+                s = np.asarray(p["s"].combine_chunks().values,
+                               dtype=np.float64).reshape(len(p), dim)
+                np.add.at(sums, c, s)
+                cnt += np.bincount(c, weights=p["n"].to_numpy(
+                    zero_copy_only=False), minlength=k).astype(np.int64)
+        new = cent.copy()
+        live = cnt > 0
+        new[live] = sums[live] / cnt[live, None]  # empty keeps old centroid
+        return new
+
+    step = ray.remote(num_cpus=1)(_step)
+    for _ in range(_KM_ITERS):
+        parts = rd.from_arrow_refs(emb_refs).map_batches(
+            partial, batch_format="pyarrow", fn_kwargs={"ref": cent_ref})
+        cent_ref = step.remote(cent_ref, *parts.to_arrow_refs())
+
+    def assign(t: pa.Table, *, ref) -> pa.Table:
+        cent = ray.get(ref)
+        ids, v = _mat(t)
+        d = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster_id": pa.array(
+                             np.argmin(d, axis=1).astype(np.int64),
+                             pa.int64())})
+
+    return rd.from_arrow_refs(emb_refs).map_batches(
+        assign, batch_format="pyarrow", fn_kwargs={"ref": cent_ref})
+
+
+def _sql_kmeans() -> str:
+    """Unrolled Lloyd iterations generated from the same constants; the
+    embedding lists are unnested once to (vec_id, pos, val) rows."""
+    # DuckDB 1.0: no WITH ORDINALITY / lateral generate_series — index the
+    # list with a fixed-range series guarded by len()
+    head = f"""
+WITH ev AS (SELECT vec_id, i.i - 1 AS pos, embedding[i.i]::DOUBLE AS val
+            FROM embeddings, generate_series(1, 64) i(i)
+            WHERE i.i <= len(embedding)),
+init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+         FROM embeddings ORDER BY vec_id LIMIT {_KM_K}),
+c1 AS (SELECT i.cluster, ev.pos, ev.val FROM init i
+       JOIN ev ON i.vec_id = ev.vec_id)"""
+    body = ""
+    for i in range(1, _KM_ITERS + 1):
+        body += f""",
+d{i} AS (SELECT ev.vec_id, c.cluster, sum((ev.val - c.val) ^ 2) AS d
+         FROM ev JOIN c{i} c ON ev.pos = c.pos
+         GROUP BY ev.vec_id, c.cluster),
+a{i} AS (SELECT vec_id, cluster FROM (
+           SELECT vec_id, cluster,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cluster) AS rn
+           FROM d{i}) WHERE rn = 1),
+cn{i} AS (SELECT a.cluster, ev.pos, avg(ev.val) AS val
+          FROM a{i} a JOIN ev ON a.vec_id = ev.vec_id
+          GROUP BY a.cluster, ev.pos),
+c{i + 1} AS (SELECT o.cluster, o.pos, coalesce(n.val, o.val) AS val
+             FROM c{i} o LEFT JOIN cn{i} n
+               ON o.cluster = n.cluster AND o.pos = n.pos)"""
+    last = _KM_ITERS + 1
+    return head + body + f""",
+df AS (SELECT ev.vec_id, c.cluster, sum((ev.val - c.val) ^ 2) AS d
+       FROM ev JOIN c{last} c ON ev.pos = c.pos
+       GROUP BY ev.vec_id, c.cluster)
+SELECT vec_id, cluster AS cluster_id FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM df) WHERE rn = 1
+"""
+
+
 CORPUS_QUERIES = {
     "longest_repeat": q_longest_repeat,
     "sa_substring_pairs": q_sa_substring_pairs,
     "chunk_passages": q_chunk_passages,
+    "kmeans_embed": q_kmeans_embed,
     "vocab_encode": q_vocab_encode,
     "char_entropy": q_char_entropy,
     "pii_redact": q_pii_redact,
@@ -1188,6 +1331,7 @@ CORPUS_ORACLES = {
     "longest_repeat": SQL_LONGEST_REPEAT,
     "sa_substring_pairs": _sql_sa_substring(),
     "chunk_passages": SQL_CHUNK_PASSAGES,
+    "kmeans_embed": _sql_kmeans(),
     "vocab_encode": SQL_VOCAB_ENCODE,
     "char_entropy": SQL_CHAR_ENTROPY,
     "pii_redact": _sql_pii_redact(),
