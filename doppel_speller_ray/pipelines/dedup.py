@@ -238,10 +238,12 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
         n_containment_pairs = int(cont_pairs.count())
         if n_containment_pairs:
             all_pairs = all_pairs.union(cont_pairs)
+    n_verified = None
     if use_distributed_cc is None:
         # verified is checkpointed/materialized → count() is metadata-only;
         # exact pairs are bounded by the verified-candidate corpus size
-        use_distributed_cc = verified.count() > DISTRIBUTED_CC_PAIR_THRESHOLD
+        n_verified = verified.count()
+        use_distributed_cc = n_verified > DISTRIBUTED_CC_PAIR_THRESHOLD
     if use_distributed_cc:
         from ..state.cc import connected_components_distributed
 
@@ -269,6 +271,8 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
         }
     if n_containment_pairs is not None:
         stats["n_containment_pairs"] = n_containment_pairs
+    if n_verified is not None:
+        stats["n_verified_pairs"] = int(n_verified)  # free — reused count
     return DedupResult(clusters=clusters, verified_pairs=verified,
                        exact_pairs=exact_pairs, docs=with_rep, stats=stats)
 
