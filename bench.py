@@ -132,7 +132,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "url_dedup_latest", "link_graph", "gopher_quality", "tfidf_topk",
         "vocab_encode", "char_entropy", "lm_score", "pagerank",
         "pmi_bigrams", "anchor_text", "longest_repeat",
-        "sa_substring_pairs", "chunk_passages", "kmeans_embed"))
+        "sa_substring_pairs", "chunk_passages", "kmeans_embed",
+        "snapshot_changes"))
     secondary["simhash"] = Q.q_simhash_values
     secondary["fingerprint"] = Q.q_fingerprint_values
     for name, fn in secondary.items():

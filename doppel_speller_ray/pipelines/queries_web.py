@@ -680,6 +680,84 @@ FROM r{_PR_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# Snapshot change detection — LAG over each url's capture history
+# ---------------------------------------------------------------------------
+# For every canonical url, order its captures by (pseudo-ts, id) and count
+# how many snapshots CHANGED content vs the previous capture (CDX-style
+# crawl freshness / change-rate estimation). Content class is synthesized
+# ((doc_id // 97) % 2 — the capture index's parity) so the ts-ordered walk
+# genuinely hits BOTH branches (16 repeats / 387 changes at sf0.01).
+#
+# Shape: the per-url ordered walk is a custom AggregateFn whose group
+# state is the bounded capture list (snapshots-per-url is corpus/97 here;
+# a production crawl bounds it by retention policy) — accumulate appends
+# (ts_key, h) pairs, ONE finalize sorts the few entries and diffs
+# vectorized. No map_groups, no global sort; the only shuffle is the url
+# groupby of pre-packed 16 B rows. The SQL oracle states the same walk
+# with a LAG window.
+
+
+def q_snapshot_changes(sf_dir: str):
+    from ray.data.aggregate import AggregateFn
+
+    from ..functions.urls import canon_url_array
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        canon = canon_url_array(pa.array(_messy_capture_urls(ids), pa.string()))
+        ts_key = (ids * _TS_MULT) % _TS_MOD * _ID_SPAN + ids
+        return pa.table({"url": canon,
+                         "ts_key": pa.array(ts_key, pa.int64()),
+                         "h": pa.array((ids // 97) % 2, pa.int64())})
+
+    def acc_block(acc: list, blk) -> list:
+        return acc + list(zip(blk["ts_key"].to_pylist(),
+                              blk["h"].to_pylist()))
+
+    def fin(acc: list):
+        a = np.array(sorted(acc), dtype=np.int64)
+        changes = int((a[1:, 1] != a[:-1, 1]).sum()) if len(a) > 1 else 0
+        return [len(a), changes]  # packed (n_snapshots, n_changes)
+
+    agg = AggregateFn(init=lambda k: [], merge=lambda a, b: a + b,
+                      accumulate_block=acc_block, finalize=fin,
+                      name="packed")
+
+    grouped = _docs(sf_dir, ["doc_id"]) \
+        .map_batches(key, batch_format="pyarrow") \
+        .groupby("url").aggregate(agg)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        packed = t["packed"].to_pylist()
+        return pa.table({
+            "url": t["url"],
+            "n_snapshots": pa.array([p[0] for p in packed], pa.int64()),
+            "n_changes": pa.array([p[1] for p in packed], pa.int64()),
+        })
+
+    return grouped.map_batches(unpack, batch_format="pyarrow")
+
+
+def _sql_snapshot_changes() -> str:
+    from ..functions.urls import sql_canon_url
+
+    canon = sql_canon_url(_SQL_MESSY_CAPTURE)
+    return f"""
+WITH c AS (SELECT {canon} AS url,
+                  (doc_id * {_TS_MULT}) % {_TS_MOD} * {_ID_SPAN} + doc_id
+                    AS ts_key,
+                  (doc_id // 97) % 2 AS h
+           FROM documents),
+l AS (SELECT url, h, lag(h) OVER (PARTITION BY url ORDER BY ts_key) AS ph
+      FROM c)
+SELECT url, count(*) AS n_snapshots,
+       coalesce(sum(CASE WHEN ph IS NOT NULL AND ph <> h
+                         THEN 1 ELSE 0 END), 0)::BIGINT AS n_changes
+FROM l GROUP BY url
+"""
+
+
+# ---------------------------------------------------------------------------
 # Anchor-text aggregation — the web-search "anchor corpus" construction
 # ---------------------------------------------------------------------------
 # For every link TARGET, aggregate the distinct anchor texts pointing at it
@@ -906,6 +984,7 @@ WEB_QUERIES = {
     "pagerank": q_pagerank,
     "pmi_bigrams": q_pmi_bigrams,
     "anchor_text": q_anchor_text,
+    "snapshot_changes": q_snapshot_changes,
 }
 
 WEB_ORACLES = {
@@ -917,6 +996,7 @@ WEB_ORACLES = {
     "pagerank": _sql_pagerank(),
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "anchor_text": SQL_ANCHOR_TEXT,
+    "snapshot_changes": _sql_snapshot_changes(),
 }
 
 # Merge into the main catalog regardless of import order (queries.py tail

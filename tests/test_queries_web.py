@@ -320,3 +320,25 @@ def test_pagerank_invariants(ray_session, tmp_path):
     # the pure source receives only teleport + dangling mass — strictly
     # less than any linked-to node's rank
     assert sink[0] <= sink.drop(0).min()
+
+
+def test_snapshot_changes_lag_hand_case(ray_session, tmp_path):
+    """Hand-computed change walk: page 0's captures in pseudo-ts order with
+    planted content classes — n_changes counts ts-ORDERED transitions, not
+    id-ordered ones."""
+    import pyarrow.parquet as pq
+
+    from doppel_speller_ray.pipelines.queries_web import (
+        _TS_MOD, _TS_MULT, q_snapshot_changes)
+
+    ids = np.array([0, 97, 194, 291], dtype=np.int64)  # 4 captures of page 0
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(["x"] * len(ids))}),
+                   f"{tmp_path}/documents.parquet")
+    out = q_snapshot_changes(str(tmp_path)).to_pandas()
+    assert len(out) == 1 and out.n_snapshots.iloc[0] == 4
+    ts = (ids * _TS_MULT) % _TS_MOD
+    h = (ids // 97) % 2
+    order = np.lexsort((ids, ts))
+    expect = int((h[order][1:] != h[order][:-1]).sum())
+    assert out.n_changes.iloc[0] == expect
