@@ -234,6 +234,11 @@ def run_dedup_only(input_dir: str, num_cpus: int) -> dict:
     else:
         res.clusters.count()
     dt = time.perf_counter() - t0
+    if os.environ.get("GRAFT_PRINT_STATS") == "1":
+        # per-stage Ray Data execution stats (wall, cpu, rows, object-store
+        # bytes per operator) — the tuning feedback loop, to stderr so the
+        # stdout JSON contract is untouched
+        print(res.clusters.stats(), file=sys.stderr)
     cpu = _total_cpu_seconds(psutil) - cpu0
     ray.shutdown()
     return {"metric": "dedup_e2e_seconds", "value": round(dt, 3), "unit": "sec",
