@@ -262,10 +262,16 @@ def test_web_tier_partitioning_invariance(ray_session, tmp_path):
         return df[sorted(df.columns)].sort_values(
             sorted(df.columns)).reset_index(drop=True)
 
-    from doppel_speller_ray.pipelines.queries_web import q_lm_score, q_pagerank
+    from doppel_speller_ray.pipelines.queries_corpus import (
+        q_chunk_passages, q_longest_repeat, q_sa_substring_pairs)
+    from doppel_speller_ray.pipelines.queries_web import (
+        q_anchor_text, q_lm_score, q_pagerank, q_pmi_bigrams,
+        q_snapshot_changes)
 
     for fn in (q_url_dedup_latest, q_gopher_quality, q_tfidf_topk,
-               q_weighted_sample, q_lm_score, q_pagerank):
+               q_weighted_sample, q_lm_score, q_pagerank,
+               q_pmi_bigrams, q_anchor_text, q_snapshot_changes,
+               q_longest_repeat, q_sa_substring_pairs, q_chunk_passages):
         a, b = canon(fn(str(one))), canon(fn(str(many)))
         pd.testing.assert_frame_equal(a, b), fn.__name__
 
