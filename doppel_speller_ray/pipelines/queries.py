@@ -2286,3 +2286,11 @@ try:
     ORACLES.update(WEB_ORACLES)
 except ImportError:
     pass  # same mid-initialization convention as queries_corpus above
+
+try:
+    from .queries_quality import QUALITY_ORACLES, QUALITY_QUERIES  # noqa: E402
+
+    QUERIES.update(QUALITY_QUERIES)
+    ORACLES.update(QUALITY_ORACLES)
+except ImportError:
+    pass  # same mid-initialization convention as queries_corpus above

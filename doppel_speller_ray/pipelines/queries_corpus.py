@@ -1186,14 +1186,23 @@ _KM_K = 4
 _KM_ITERS = 3
 
 
-def q_kmeans_embed(sf_dir: str):
+def kmeans_assignments(sf_dir: str, keep_embedding: bool = False,
+                       emb_ds=None):
+    """Distributed Lloyd k-means over the embeddings table → assignment
+    Dataset (vec_id, cluster_id [, embedding]). Shared by the
+    ``kmeans_embed`` oracle entry and the SemDeDup tier
+    (queries_quality.py), which needs the vectors co-located with their
+    cluster label so its within-cluster prune never pays a payload join.
+    ``emb_ds`` overrides the input Dataset (same (vec_id, embedding)
+    schema) — semdedup feeds its planted derived corpus through here."""
     import ray
     import ray.data as rd
 
     from .queries import _read
 
-    emb_refs = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
-        .to_arrow_refs()
+    if emb_ds is None:
+        emb_ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb_refs = emb_ds.to_arrow_refs()
 
     def _mat(t: pa.Table):
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1257,26 +1266,34 @@ def q_kmeans_embed(sf_dir: str):
         cent = ray.get(ref)
         ids, v = _mat(t)
         d = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        return pa.table({"vec_id": pa.array(ids, pa.int64()),
-                         "cluster_id": pa.array(
-                             np.argmin(d, axis=1).astype(np.int64),
-                             pa.int64())})
+        cols = {"vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(np.argmin(d, axis=1).astype(np.int64),
+                                       pa.int64())}
+        if keep_embedding:
+            cols["embedding"] = t["embedding"]
+        return pa.table(cols)
 
     return rd.from_arrow_refs(emb_refs).map_batches(
         assign, batch_format="pyarrow", fn_kwargs={"ref": cent_ref})
 
 
-def _sql_kmeans() -> str:
+def q_kmeans_embed(sf_dir: str):
+    return kmeans_assignments(sf_dir)
+
+
+def _sql_kmeans(source: str = "embeddings") -> str:
     """Unrolled Lloyd iterations generated from the same constants; the
-    embedding lists are unnested once to (vec_id, pos, val) rows."""
+    embedding lists are unnested once to (vec_id, pos, val) rows.
+    ``source`` names the (vec_id, embedding) relation — the semdedup oracle
+    (queries_quality.py) points it at a derived planted-corpus CTE."""
     # DuckDB 1.0: no WITH ORDINALITY / lateral generate_series — index the
     # list with a fixed-range series guarded by len()
     head = f"""
 WITH ev AS (SELECT vec_id, i.i - 1 AS pos, embedding[i.i]::DOUBLE AS val
-            FROM embeddings, generate_series(1, 64) i(i)
+            FROM {source}, generate_series(1, 64) i(i)
             WHERE i.i <= len(embedding)),
 init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-         FROM embeddings ORDER BY vec_id LIMIT {_KM_K}),
+         FROM {source} ORDER BY vec_id LIMIT {_KM_K}),
 c1 AS (SELECT i.cluster, ev.pos, ev.val FROM init i
        JOIN ev ON i.vec_id = ev.vec_id)"""
     body = ""
