@@ -133,7 +133,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "vocab_encode", "char_entropy", "lm_score", "pagerank",
         "pmi_bigrams", "anchor_text", "longest_repeat",
         "sa_substring_pairs", "chunk_passages", "kmeans_embed",
-        "snapshot_changes"))
+        "snapshot_changes", "repetition_signals", "cluster_representatives",
+        "semdedup", "simhash_neardup", "hll_distinct", "kmv_distinct"))
     secondary["simhash"] = Q.q_simhash_values
     secondary["fingerprint"] = Q.q_fingerprint_values
     for name, fn in secondary.items():

@@ -2294,3 +2294,11 @@ try:
     ORACLES.update(QUALITY_ORACLES)
 except ImportError:
     pass  # same mid-initialization convention as queries_corpus above
+
+try:
+    from .queries_sketches import SKETCH_ORACLES, SKETCH_QUERIES  # noqa: E402
+
+    QUERIES.update(SKETCH_QUERIES)
+    ORACLES.update(SKETCH_ORACLES)
+except ImportError:
+    pass  # same mid-initialization convention as queries_corpus above
