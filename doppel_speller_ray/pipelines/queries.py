@@ -2302,3 +2302,11 @@ try:
     ORACLES.update(SKETCH_ORACLES)
 except ImportError:
     pass  # same mid-initialization convention as queries_corpus above
+
+try:
+    from .queries_joins import JOIN_ORACLES, JOIN_QUERIES  # noqa: E402
+
+    QUERIES.update(JOIN_QUERIES)
+    ORACLES.update(JOIN_ORACLES)
+except ImportError:
+    pass  # same mid-initialization convention as queries_corpus above
