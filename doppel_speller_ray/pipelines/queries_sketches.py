@@ -35,8 +35,10 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import fmix32
+from ..functions.normalize import normalize_array
 from .queries import _read, _round6_half_up
 
 _HLL_P = 6
@@ -204,14 +206,169 @@ WHERE rn = CASE WHEN nd < {_KMV_K} THEN nd ELSE {_KMV_K} END
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (exact-certified)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4                      # sketch depth (rows)
+_CMS_W = 1024                   # sketch width (counters per row)
+_CMS_THETA = 0.033              # heavy-hitter threshold (fraction of word
+                                # occurrences) — shared with the SQL oracle
+_CMS_SEED = 13
+
+
+def _cms_partial(t: pa.Table) -> pa.Table:
+    """One-pass per-batch partial for the CMS heavy-hitter pipeline.
+
+    Emits three kinds of pre-aggregated rows in one union-schema table:
+    - ``cms``  — the batch's Count-Min increments, ALREADY folded to at most
+      D·(batch vocab) nonzero (row, col) counters;
+    - ``cand`` — the batch's locally θ-heavy words. By averaging, a word
+      with global frequency ≥ θ·N is ≥ θ-frequent in AT LEAST ONE batch, so
+      the union of local candidates is a GUARANTEED superset of the true
+      heavy hitters — this is what lets a sketch (which cannot enumerate
+      keys) drive an exact top set;
+    - ``tot``  — the batch's occurrence count.
+    """
+    from ..functions.hashing import hash_strings
+
+    norm = normalize_array(t["text"], None, 3)
+    words = pc.split_pattern(norm, pattern=" ")
+    flat = words.values
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    v = len(vocab)
+    empty_kind = pa.table({"kind": pa.array([], pa.string()),
+                           "slot": pa.array([], pa.int64()),
+                           "cnt": pa.array([], pa.int64()),
+                           "word": pa.array([], pa.string())})
+    if v == 0:
+        return empty_kind
+    cnt = np.bincount(codes, minlength=v).astype(np.int64)
+    nonempty = np.asarray(pc.not_equal(vocab, "").to_numpy(zero_copy_only=False))
+    cnt = np.where(nonempty, cnt, 0)
+    local_total = int(cnt.sum())
+    if local_total == 0:
+        return empty_kind
+
+    hv = hash_strings(vocab, seed=_CMS_SEED)
+    kinds, slots, cnts, wrds = [], [], [], []
+    for r in range(_CMS_D):
+        col = (fmix32(hv, seed=101 + r) % np.uint64(_CMS_W)).astype(np.int64)
+        # fold batch-vocab collisions into counters before emitting
+        regs = np.bincount(col, weights=cnt, minlength=_CMS_W).astype(np.int64)
+        nz = np.nonzero(regs)[0]
+        kinds.append(np.full(len(nz), "cms", dtype=object))
+        slots.append(r * _CMS_W + nz)
+        cnts.append(regs[nz])
+        wrds.append(np.full(len(nz), "", dtype=object))
+    heavy = np.nonzero(cnt >= _CMS_THETA * local_total)[0]
+    kinds.append(np.full(len(heavy), "cand", dtype=object))
+    slots.append(np.zeros(len(heavy), dtype=np.int64))
+    cnts.append(np.zeros(len(heavy), dtype=np.int64))
+    wrds.append(np.asarray(vocab.take(pa.array(heavy, pa.int64())).to_pylist(),
+                           dtype=object))
+    kinds.append(np.asarray(["tot"], dtype=object))
+    slots.append(np.zeros(1, dtype=np.int64))
+    cnts.append(np.asarray([local_total], dtype=np.int64))
+    wrds.append(np.asarray([""], dtype=object))
+    return pa.table({"kind": pa.array(np.concatenate(kinds), pa.string()),
+                     "slot": pa.array(np.concatenate(slots), pa.int64()),
+                     "cnt": pa.array(np.concatenate(cnts), pa.int64()),
+                     "word": pa.array(np.concatenate(wrds), pa.string())})
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Heavy hitters (words with ≥ θ of all occurrences), CMS-pruned and
+    EXACT-certified — the sketch finds and prunes candidates, a second
+    counting pass over ONLY the survivors produces exact counts, so the
+    output equals the plain GROUP BY/HAVING oracle regardless of sketch
+    error (CMS never underestimates ⇒ no true heavy hitter is pruned).
+
+    Shape: pass 1 is one map_batches emitting bounded partials (D·W
+    counters + ≤1/θ local candidates + 1 total per batch), materialized
+    once (tiny) and folded with one slot-groupby; pass 2 re-reads the
+    corpus with the survivor set broadcast and counts exactly via a
+    per-batch bincount partial + one word-groupby. At 100 TB the shuffle
+    payloads are O(D·W) and O(|survivors|) per block — never the corpus.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_strings
+
+    parts = _read(sf_dir, "documents", ["text"]) \
+        .map_batches(_cms_partial, batch_format="pyarrow").materialize()
+
+    total = parts.filter(expr="kind == 'tot'") \
+        .aggregate(Sum("cnt", alias_name="total"))["total"] or 0
+    cms_rows = parts.filter(expr="kind == 'cms'") \
+        .groupby("slot").aggregate(Sum("cnt", alias_name="n")).take_all()
+    cms = np.zeros(_CMS_D * _CMS_W, dtype=np.int64)
+    for r in cms_rows:
+        cms[r["slot"]] = r["n"]
+    cand_words = sorted({r["word"] for r in
+                         parts.filter(expr="kind == 'cand'").take_all()})
+    cw = pa.array(cand_words, pa.string())
+    hv = hash_strings(cw, seed=_CMS_SEED)
+    est = np.full(len(cand_words), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(_CMS_D):
+        col = (fmix32(hv, seed=101 + r) % np.uint64(_CMS_W)).astype(np.int64)
+        est = np.minimum(est, cms[r * _CMS_W + col])
+    survivors = np.asarray(cand_words, dtype=object)[est >= _CMS_THETA * total]
+    surv_ref = ray.put(np.sort(survivors))
+
+    def exact_partial(t: pa.Table) -> pa.Table:
+        sv = ray.get(surv_ref)
+        if len(sv) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        norm = normalize_array(t["text"], None, 3)
+        flat = np.asarray(pc.split_pattern(norm, pattern=" ")
+                          .values.to_numpy(zero_copy_only=False), dtype=object)
+        pos = np.minimum(np.searchsorted(sv, flat), len(sv) - 1)
+        hit = sv[pos] == flat
+        cnt = np.bincount(pos[hit], minlength=len(sv)).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"word": pa.array(sv[nz], pa.string()),
+                         "n_part": pa.array(cnt[nz], pa.int64())})
+
+    exact = _read(sf_dir, "documents", ["text"]) \
+        .map_batches(exact_partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n_part", alias_name="n"))
+    thresh = _CMS_THETA * total
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n >= thresh
+        return pa.table({"word": t["word"].filter(pa.array(keep)),
+                         "n": pa.array(n[keep], pa.int64())})
+
+    return exact.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH nm AS (SELECT trim(regexp_replace(regexp_replace(replace(lower(text),
+              '-', ' '), '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g')) AS norm
+            FROM documents),
+t AS (SELECT unnest(string_split(norm, ' ')) AS word
+      FROM nm WHERE norm <> '')
+SELECT word, count(*) AS n FROM t GROUP BY word
+HAVING count(*) >= {_CMS_THETA} * (SELECT count(*) FROM t)
+"""
+
+
 SKETCH_QUERIES = {
     "hll_distinct": q_hll_distinct,
     "kmv_distinct": q_kmv_distinct,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 SKETCH_ORACLES = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "kmv_distinct": SQL_KMV_DISTINCT,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
 }
 
 # Merge into the main catalog regardless of import order (the

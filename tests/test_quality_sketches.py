@@ -216,3 +216,63 @@ def test_kmv_partial_caps_per_group():
                     dtype=object)
     assert (et == "a").sum() == _KMV_K      # capped
     assert (et == "b").sum() == 2           # distinct hashes only
+
+
+# --- Count-Min heavy hitters -------------------------------------------------
+
+from doppel_speller_ray.pipelines.queries_sketches import (  # noqa: E402
+    _CMS_D,
+    _CMS_THETA,
+    _CMS_W,
+    _cms_partial,
+    q_cms_heavy_hitters,
+)
+
+
+def _docs_table(texts):
+    return pa.table({"text": pa.array(texts, pa.string())})
+
+
+def test_cms_partial_candidate_rule():
+    # "spam" is 6 of 12 occurrences (0.5 >= theta) -> local candidate;
+    # every other word is 1/12 = 0.083 > theta=0.033 too (tiny batch), so
+    # use a batch where a word is genuinely below theta: 1 of 40
+    texts = ["spam " * 6 + " ".join(f"w{i:02d}" for i in range(34))]
+    part = _cms_partial(_docs_table(texts))
+    kinds = np.asarray(part["kind"].to_numpy(zero_copy_only=False), dtype=object)
+    words = np.asarray(part["word"].to_numpy(zero_copy_only=False), dtype=object)
+    cands = set(words[kinds == "cand"])
+    assert "spam" in cands
+    assert "w00" not in cands          # 1/40 = 0.025 < 0.033
+    tot = part.filter(pa.compute.equal(part["kind"], "tot"))["cnt"][0].as_py()
+    assert tot == 40
+    # CMS row sums each equal the batch total
+    slots = part["slot"].to_numpy(zero_copy_only=False)
+    cnts = part["cnt"].to_numpy(zero_copy_only=False)
+    cms_mask = kinds == "cms"
+    for r in range(_CMS_D):
+        row = (slots[cms_mask] // _CMS_W) == r
+        assert cnts[cms_mask][row].sum() == 40
+
+
+def test_cms_heavy_hitters_exact_e2e(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    # skewed corpus split over many docs/batches: brute-force ground truth
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"tok{i:02d}" for i in range(40)])
+    weights = np.ones(40); weights[0] = 120.0; weights[1] = 60.0
+    weights /= weights.sum()
+    texts = [" ".join(rng.choice(vocab, size=50, p=weights)) for _ in range(80)]
+    pq.write_table(pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   f"{tmp_path}/documents.parquet")
+    from collections import Counter
+    cnt = Counter(w for t in texts for w in t.split())
+    total = sum(cnt.values())
+    expect = {(w, n) for w, n in cnt.items() if n >= _CMS_THETA * total}
+    out = q_cms_heavy_hitters(str(tmp_path)).to_pandas()
+    got = {(w, int(n)) for w, n in out[["word", "n"]].values}
+    assert got == expect
+    assert len(expect) >= 2          # the planted heavy words qualify
+    assert len(expect) < 40          # and the tail does not
