@@ -134,7 +134,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "pmi_bigrams", "anchor_text", "longest_repeat",
         "sa_substring_pairs", "chunk_passages", "kmeans_embed",
         "snapshot_changes", "repetition_signals", "cluster_representatives",
-        "semdedup", "simhash_neardup", "hll_distinct", "kmv_distinct"))
+        "semdedup", "simhash_neardup", "hll_distinct", "kmv_distinct",
+        "range_join", "prefix_jaccard_join", "posting_lists",
+        "cms_heavy_hitters", "events_debounce", "time_to_next_event",
+        "percent_rank_length"))
     secondary["simhash"] = Q.q_simhash_values
     secondary["fingerprint"] = Q.q_fingerprint_values
     for name, fn in secondary.items():

@@ -2310,3 +2310,11 @@ try:
     ORACLES.update(JOIN_ORACLES)
 except ImportError:
     pass  # same mid-initialization convention as queries_corpus above
+
+try:
+    from .queries_window import WINDOW_ORACLES, WINDOW_QUERIES  # noqa: E402
+
+    QUERIES.update(WINDOW_QUERIES)
+    ORACLES.update(WINDOW_ORACLES)
+except ImportError:
+    pass  # same mid-initialization convention as queries_corpus above
