@@ -2318,3 +2318,14 @@ try:
     ORACLES.update(WINDOW_ORACLES)
 except ImportError:
     pass  # same mid-initialization convention as queries_corpus above
+
+try:
+    from .queries_semistruct import (  # noqa: E402
+        SEMISTRUCT_ORACLES,
+        SEMISTRUCT_QUERIES,
+    )
+
+    QUERIES.update(SEMISTRUCT_QUERIES)
+    ORACLES.update(SEMISTRUCT_ORACLES)
+except ImportError:
+    pass  # same mid-initialization convention as queries_corpus above
