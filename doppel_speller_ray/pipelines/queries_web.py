@@ -975,8 +975,128 @@ LIMIT {_PMI_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 per-doc top-k terms — the IR-standard saturation-weighted variant of
+# the TF-IDF operator above; same broadcast-idf shape (the per-doc side
+# never shuffles), plus the document-length normalization BM25 adds: dl and
+# avgdl come from one extra bounded aggregate pass (a single float), and
+# the Robertson idf ln((N - df + 0.5)/(df + 0.5) + 1) is rounded through
+# the shared half-up rule BEFORE scoring on BOTH engines (the tfidf_topk
+# convention). k1/b and the score expression are f-string-shared with the
+# oracle, parenthesized identically so float64 evaluation order matches.
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_topk(sf_dir: str, k: int = _TFIDF_K):
+    import ray
+
+    from ..functions.normalize import normalize_array
+    from .queries import _QCFG, _word_df_ds
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+
+    def tok_count(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        wl = pc.split_pattern(norm, pattern=" ")
+        flat = wl.values
+        n = int(pc.sum(pc.cast(pc.not_equal(flat, ""), pa.int64())).as_py()
+                or 0)
+        return pa.table({"n_tok": pa.array([n], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    total_tokens = _docs(sf_dir, ["text"]) \
+        .map_batches(tok_count, batch_format="pyarrow") \
+        .aggregate(Sum("n_tok", alias_name="n"))["n"] or 0
+    avgdl = total_tokens / n_docs
+
+    blocks = [t for t in ray.get(_word_df_ds(sf_dir).to_arrow_refs())
+              if t.num_columns]
+    idf_tbl = pa.concat_tables(blocks, promote_options="none")
+    words = np.asarray(idf_tbl["word"].combine_chunks(), dtype=object)
+    order = np.argsort(words)
+    sorted_words = words[order]
+    df = idf_tbl["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    idf_vals = _round6_half_up(
+        np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))[order]
+    ref = ray.put((sorted_words, idf_vals))
+
+    def fn(t: pa.Table) -> pa.Table:
+        svoc, sidf = ray.get(ref)
+        norm = normalize_array(t["text"], _QCFG.max_chars, _QCFG.n_grams)
+        wl = pc.split_pattern(norm, pattern=" ")
+        if isinstance(wl, pa.ChunkedArray):
+            wl = wl.combine_chunks()
+        lens = np.diff(np.asarray(wl.offsets))
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        enc = wl.values.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary, dtype=object)
+        v = max(len(vocab), 1)
+        ok = np.array([len(w) > 0 for w in vocab], dtype=bool)
+        dl = np.bincount(doc_idx[ok[codes]], minlength=len(t))  # tokens/doc
+        keys, tf = np.unique(doc_idx * v + codes, return_counts=True)
+        d, c = keys // v, keys % v
+        m = ok[c]
+        d, c, tf = d[m], c[m], tf[m].astype(np.float64)
+        pos = np.searchsorted(svoc, vocab[c])
+        dl_ratio = dl[d] / avgdl
+        score = _round6_half_up(
+            (sidf[pos] * (tf * (_BM25_K1 + 1.0)))
+            / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl_ratio)))
+        lex_rank = np.empty(len(vocab), np.int64)
+        lex_rank[np.argsort(vocab)] = np.arange(len(vocab))
+        ordr = np.lexsort((lex_rank[c], -score, d))
+        d, c, score = d[ordr], c[ordr], score[ordr]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        rank = np.arange(len(d)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(d)]))
+        top = rank < k
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[d[top]], pa.int64()),
+            "word": pa.array(vocab[c[top]], pa.string()),
+            "rank": pa.array(rank[top] + 1, pa.int64()),
+            "score": pa.array(score[top], pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+SQL_BM25_TOPK = f"""
+WITH n AS (SELECT doc_id, {_SQL_NORM_PADDED} AS norm FROM documents),
+w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM n),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w WHERE word <> ''
+       GROUP BY doc_id, word),
+dls AS (SELECT doc_id, count(*) AS dl FROM w WHERE word <> ''
+        GROUP BY doc_id),
+consts AS (SELECT (SELECT count(*) FROM documents) AS nd,
+                  (SELECT count(*) FROM w WHERE word <> '') * 1.0
+                    / (SELECT count(*) FROM documents) AS avgdl),
+d AS (SELECT word,
+             floor(ln((consts.nd - count(DISTINCT doc_id) + 0.5)
+                      / (count(DISTINCT doc_id) + 0.5) + 1.0)
+                   * 1000000 + 0.5) / 1000000 AS idf
+      FROM w, consts WHERE word <> '' GROUP BY word, consts.nd),
+s AS (SELECT tf.doc_id, tf.word,
+        floor(((d.idf * (tf.tf * {_BM25_K1 + 1.0}))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * (CAST(dls.dl AS DOUBLE) / consts.avgdl))))
+              * 1000000 + 0.5) / 1000000 AS score
+      FROM tf JOIN d USING (word) JOIN dls USING (doc_id), consts),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY doc_id ORDER BY score DESC, word) AS rank FROM s)
+SELECT doc_id, word, rank, score FROM r WHERE rank <= {_TFIDF_K}
+"""
+
+
 WEB_QUERIES = {
     "url_dedup_latest": q_url_dedup_latest,
+    "bm25_topk": q_bm25_topk,
     "link_graph": q_link_graph,
     "gopher_quality": q_gopher_quality,
     "tfidf_topk": q_tfidf_topk,
@@ -989,6 +1109,7 @@ WEB_QUERIES = {
 
 WEB_ORACLES = {
     "url_dedup_latest": _sql_url_dedup_latest(),
+    "bm25_topk": SQL_BM25_TOPK,
     "link_graph": SQL_LINK_GRAPH,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "tfidf_topk": SQL_TFIDF_TOPK,

@@ -284,6 +284,7 @@ def test_lm_score_hand(ray_session, tmp_path):
     import math
 
     import pyarrow.parquet as pq
+    import pytest
 
     from doppel_speller_ray.pipelines.queries_web import q_lm_score
 
@@ -348,3 +349,42 @@ def test_snapshot_changes_lag_hand_case(ray_session, tmp_path):
     order = np.lexsort((ids, ts))
     expect = int((h[order][1:] != h[order][:-1]).sum())
     assert out.n_changes.iloc[0] == expect
+
+
+def test_bm25_topk_hand_case(ray_session, tmp_path):
+    """BM25 vs a by-hand computation: saturation (k1) and length
+    normalization (b, dl/avgdl) must match the closed-form formula, with
+    the Robertson idf rounded to 6 before scoring (the shared contract)."""
+    import math
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from doppel_speller_ray.pipelines.queries_web import (
+        _BM25_B,
+        _BM25_K1,
+        q_bm25_topk,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["apple banana banana", "apple cherry"]),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = q_bm25_topk(str(tmp_path), k=2).to_pandas()
+    n, avgdl = 2, 5 / 2
+
+    def expect(tf, df, dl):
+        idf = math.floor(math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                         * 1e6 + 0.5) / 1e6
+        s = (idf * (tf * (_BM25_K1 + 1.0))) / (
+            tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dl / avgdl)))
+        return math.floor(s * 1e6 + 0.5) / 1e6
+
+    got = {(r.doc_id, r.word): (r.score, r.rank) for r in out.itertuples()}
+    assert got[(1, "banana")] == (pytest.approx(expect(2, 1, 3)), 1)
+    assert got[(1, "apple")] == (pytest.approx(expect(1, 2, 3)), 2)
+    assert got[(2, "cherry")] == (pytest.approx(expect(1, 1, 2)), 1)
+    assert got[(2, "apple")] == (pytest.approx(expect(1, 2, 2)), 2)
+    # the rare term's saturated score beats the common term's in both docs
+    assert got[(1, "banana")][0] > got[(1, "apple")][0]
