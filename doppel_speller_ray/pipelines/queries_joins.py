@@ -207,15 +207,26 @@ def q_prefix_jaccard_join(sf_dir: str, threshold: float = _PJ_THRESHOLD,
     import ray
     from ray.data.aggregate import Sum
 
+    # ONE corpus scan: the distinct (doc, gram) explode is materialized
+    # once and feeds all three consumers (DF table, prefix postings, verify
+    # CSR) — normalize + hash never re-run (the dedup-pipeline _pin_refs
+    # lesson: lazy fan-out re-executes the whole upstream chain per branch).
+    def explode(t: pa.Table) -> pa.Table:
+        ids, grams = _distinct_doc_bigrams(t)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "gram": pa.array(grams.view(np.int64), pa.int64())})
+
+    pairs_ds = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pyarrow").materialize()
+
     # stage 1 — DF-ascending global rank (gram-vocab-bounded broadcast)
     def df_partial(t: pa.Table) -> pa.Table:
-        _, grams = _distinct_doc_bigrams(t)
-        ug, cnt = np.unique(grams, return_counts=True)
-        return pa.table({"gram": pa.array(ug.view(np.int64), pa.int64()),
+        ug, cnt = np.unique(t["gram"].to_numpy(zero_copy_only=False),
+                            return_counts=True)
+        return pa.table({"gram": pa.array(ug, pa.int64()),
                          "df_part": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    df_rows = _docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(df_partial, batch_format="pyarrow") \
+    df_rows = pairs_ds.map_batches(df_partial, batch_format="pyarrow") \
         .groupby("gram").aggregate(Sum("df_part", alias_name="df")).take_all()
     grams_all = np.asarray([r["gram"] for r in df_rows], dtype=np.int64)
     dfs = np.asarray([r["df"] for r in df_rows], dtype=np.int64)
@@ -228,13 +239,16 @@ def q_prefix_jaccard_join(sf_dir: str, threshold: float = _PJ_THRESHOLD,
     rank_ref = ray.put((grams_all[lex], rank_of[lex]))
 
     def prefix_postings(t: pa.Table) -> pa.Table:
+        # batch_size=None ⇒ whole materialized blocks, so every doc's rows
+        # arrive together (the explode emits each doc within one block)
         gs, rs = ray.get(rank_ref)
-        ids, grams = _distinct_doc_bigrams(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grams = t["gram"].to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return pa.table({"rank": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64()),
                              "size": pa.array([], pa.int64())})
-        ranks = rs[np.searchsorted(gs, grams.view(np.int64))]
+        ranks = rs[np.searchsorted(gs, grams)]
         o = np.lexsort((ranks, ids))
         ids, ranks = ids[o], ranks[o]
         new = np.ones(len(ids), dtype=bool)
@@ -250,8 +264,8 @@ def q_prefix_jaccard_join(sf_dir: str, threshold: float = _PJ_THRESHOLD,
                          "doc_id": pa.array(ids[keep], pa.int64()),
                          "size": pa.array(sizes[run_id][keep], pa.int64())})
 
-    postings = _docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(prefix_postings, batch_format="pyarrow")
+    postings = pairs_ds.map_batches(prefix_postings, batch_format="pyarrow",
+                                    batch_size=None)
 
     def add_tok_part(t: pa.Table) -> pa.Table:
         r = t["rank"].to_numpy(zero_copy_only=False)
@@ -260,8 +274,9 @@ def q_prefix_jaccard_join(sf_dir: str, threshold: float = _PJ_THRESHOLD,
     def gen_pairs(g: pa.Table, **_kwargs) -> pa.Table:
         rk = g["rank"].to_numpy(zero_copy_only=False)
         ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz = g["size"].to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.lexsort((ids, rk))
-        rk, ids = rk[o], ids[o]
+        rk, ids, sz = rk[o], ids[o], sz[o]
         new = np.ones(len(rk), dtype=bool)
         new[1:] = rk[1:] != rk[:-1]
         starts = np.nonzero(new)[0]
@@ -273,6 +288,11 @@ def q_prefix_jaccard_join(sf_dir: str, threshold: float = _PJ_THRESHOLD,
                 continue
             li, ri = np.triu_indices(r, k=1)
             a, b = ids[s + li], ids[s + ri]
+            # PPJoin length filter: J ≥ t ⇒ min(|a|,|b|) ≥ t·max(|a|,|b|)
+            # — kills the bulk of the candidate volume before any shuffle
+            sa, sb = sz[s + li], sz[s + ri]
+            ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+            a, b = a[ok], b[ok]
             lo, hi = np.minimum(a, b), np.maximum(a, b)
             out_l.append(lo)
             out_r.append(hi)
@@ -302,21 +322,12 @@ def q_prefix_jaccard_join(sf_dir: str, threshold: float = _PJ_THRESHOLD,
     pairs = cands.map_batches(add_left_part, batch_format="pyarrow") \
         .groupby("part").map_groups(dedup_pairs, batch_format="pyarrow")
 
-    # stage 4 — broadcast CSR of rank-encoded token sets (sorted per doc)
-    def doc_sets(t: pa.Table) -> pa.Table:
-        gs, rs = ray.get(rank_ref)
-        ids, grams = _distinct_doc_bigrams(t)
-        if len(ids) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "rank": pa.array([], pa.int64())})
-        ranks = rs[np.searchsorted(gs, grams.view(np.int64))]
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "rank": pa.array(ranks, pa.int64())})
-
-    set_rows = _docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(doc_sets, batch_format="pyarrow").take_all()
+    # stage 4 — broadcast CSR of token sets (sorted per doc). Gram VALUES,
+    # not ranks, key the intersection — any consistent id domain works, and
+    # reusing the materialized explode avoids a second corpus scan.
+    set_rows = pairs_ds.take_all()
     sd = np.asarray([r["doc_id"] for r in set_rows], dtype=np.int64)
-    sr = np.asarray([r["rank"] for r in set_rows], dtype=np.int64)
+    sr = np.asarray([r["gram"] for r in set_rows], dtype=np.int64)
     o = np.lexsort((sr, sd))
     sd, sr = sd[o], sr[o]
     uids = np.unique(sd)
