@@ -1271,6 +1271,31 @@ SQL_SUBSTRING_PAIRS = (
 )
 
 
+def _cdc_digest(t: pa.Table) -> np.ndarray:
+    """Per-doc order-sensitive digest of the CDC chunk-hash sequence
+    (`functions/cdc.py`) — byte-level, raw text (CDC is a storage/code
+    dedup primitive; no normalization)."""
+    from ..functions.cdc import cdc_row_digest
+    from ..functions.hashing import _string_buffers
+
+    arr = t["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    data, offsets = _string_buffers(arr)
+    return cdc_row_digest(data, offsets, len(t))
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking copy-consistency (oracle: TRUE per doc) —
+    the raw boundary/chunk behaviour (shift robustness, max-cut, tiling)
+    is pinned by `tests/test_cdc.py`; this certifies the chunk-hash
+    SEQUENCE is deterministic and partition-invariant across blocks, the
+    property chunk-level dedup at 100 TB rests on."""
+    return _copy_consistency(sf_dir, _cdc_digest)
+
+
 QUERIES.update({
     "containment_pairs": q_containment_pairs,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1278,6 +1303,7 @@ QUERIES.update({
     "match_titles": q_match_titles,
     "winnow": q_winnow,
     "substring_pairs": q_substring_pairs,
+    "cdc_chunks": q_cdc_chunks,
 })
 
 ORACLES.update({
@@ -1287,6 +1313,7 @@ ORACLES.update({
     "match_titles": SQL_MATCH_TITLES,
     "winnow": SQL_COPY_CONSISTENT,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
+    "cdc_chunks": SQL_COPY_CONSISTENT,
 })
 
 
