@@ -2356,3 +2356,70 @@ try:
     ORACLES.update(SEMISTRUCT_ORACLES)
 except ImportError:
     pass  # same mid-initialization convention as queries_corpus above
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode under the driver gate: synthesized two-stripe BMPs run
+# through the REAL actor-pool decode (+ nearest resize), and the stripe
+# construction makes the decoded per-channel means closed-form SQL — the
+# binary-column plumbing (payload synthesis → ImageDecodeStage actor pool →
+# fixed_size_list pixels → vectorized stats) is certified end-to-end, not
+# just unit-tested.
+# ---------------------------------------------------------------------------
+
+def q_multimodal_image_stats(sf_dir: str):
+    """Per doc: encode a 16×16 BMP with top-half color A(doc_id) =
+    (id, 2id, 3id) mod 256 and bottom-half B(doc_id) = (5id, 7id, 11id)
+    mod 256 (per-row Python is the synthesis HARNESS, the `_messy_url`
+    convention — the operator under test is the decode stage). Decode with
+    `stages/multimodal.py:ImageDecodeStage` (strict — a stub fallback
+    would fail the oracle), resize 8×8 pixel-centre → exactly 32 A + 32 B
+    pixels, so mean_c = (A_c + B_c)/2 exactly (integer halves are exact
+    float64)."""
+    from ..functions import codecs
+    from ..stages.multimodal import decode_images
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids:
+            img = np.empty((16, 16, 3), np.uint8)
+            img[:8] = np.array([i % 256, (2 * i) % 256, (3 * i) % 256],
+                               np.uint8)
+            img[8:] = np.array([(5 * i) % 256, (7 * i) % 256,
+                                (11 * i) % 256], np.uint8)
+            payloads.append(codecs.encode_bmp(img))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(synth, batch_format="pyarrow")
+    decoded = decode_images(media, target=(8, 8), channels=3,
+                            batch_size=64, concurrency=2, strict=True)
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t["pixels"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = np.asarray(col.values, dtype=np.uint8) \
+            .reshape(len(t), 8, 8, 3).astype(np.float64)
+        means = mat.mean(axis=(1, 2))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "mean_r": pa.array(_round6_half_up(means[:, 0]), pa.float64()),
+            "mean_g": pa.array(_round6_half_up(means[:, 1]), pa.float64()),
+            "mean_b": pa.array(_round6_half_up(means[:, 2]), pa.float64()),
+        })
+
+    return decoded.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_IMAGE_STATS = """
+SELECT doc_id,
+       ((doc_id % 256) + ((5 * doc_id) % 256)) / 2.0 AS mean_r,
+       (((2 * doc_id) % 256) + ((7 * doc_id) % 256)) / 2.0 AS mean_g,
+       (((3 * doc_id) % 256) + ((11 * doc_id) % 256)) / 2.0 AS mean_b
+FROM documents
+"""
+
+QUERIES["multimodal_image_stats"] = q_multimodal_image_stats
+ORACLES["multimodal_image_stats"] = SQL_MULTIMODAL_IMAGE_STATS
