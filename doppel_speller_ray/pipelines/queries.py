@@ -2423,3 +2423,57 @@ FROM documents
 
 QUERIES["multimodal_image_stats"] = q_multimodal_image_stats
 ORACLES["multimodal_image_stats"] = SQL_MULTIMODAL_IMAGE_STATS
+
+
+def q_multimodal_audio_stats(sf_dir: str):
+    """Audio twin of q_multimodal_image_stats: per doc a 512-sample
+    constant-amplitude PCM-16 WAV with c(doc_id) = (doc_id % 1024) − 512.
+    The REAL strict AudioFrameSampleStage decodes (stdlib RIFF parse),
+    mono-mixes, splits into 8 equal 64-sample frames — a constant frame's
+    float32 mean is EXACTLY c/32768 (c·2⁻¹⁵ is float32-exact; summing 64
+    identical values scales by a power of two) and its std is exactly 0,
+    so the decoded output is closed-form SQL with no rounding rule."""
+    from ..functions import codecs
+    from ..stages.multimodal import AudioFrameSampleStage
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids:
+            c = int(i % 1024) - 512
+            payloads.append(codecs.encode_wav_pcm16(
+                np.full(512, c, dtype=np.int16), sample_rate=16000))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = _docs(sf_dir, ["doc_id"]).map_batches(synth, batch_format="pyarrow")
+    sampled = media.map_batches(
+        AudioFrameSampleStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2, num_cpus=1,
+        fn_constructor_kwargs={"n_frames": 8, "strict": True})
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t["frames"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = np.asarray(col.values, dtype=np.float32).reshape(len(t), 16)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "frame_mean": pa.array(mat[:, 0].astype(np.float64), pa.float64()),
+            "frame_std": pa.array(mat[:, 1].astype(np.float64), pa.float64()),
+            "sample_rate": pc.cast(t["sample_rate"], pa.int64()),
+        })
+
+    return sampled.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_AUDIO_STATS = """
+SELECT doc_id,
+       ((doc_id % 1024) - 512) / 32768.0 AS frame_mean,
+       0.0 AS frame_std,
+       CAST(16000 AS BIGINT) AS sample_rate
+FROM documents
+"""
+
+QUERIES["multimodal_audio_stats"] = q_multimodal_audio_stats
+ORACLES["multimodal_audio_stats"] = SQL_MULTIMODAL_AUDIO_STATS
