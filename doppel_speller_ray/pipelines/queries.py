@@ -2357,6 +2357,14 @@ try:
 except ImportError:
     pass  # same mid-initialization convention as queries_corpus above
 
+try:
+    from .queries_profile import PROFILE_ORACLES, PROFILE_QUERIES  # noqa: E402
+
+    QUERIES.update(PROFILE_QUERIES)
+    ORACLES.update(PROFILE_ORACLES)
+except ImportError:
+    pass  # same mid-initialization convention as queries_corpus above
+
 
 # ---------------------------------------------------------------------------
 # Multimodal decode under the driver gate: synthesized two-stripe BMPs run

@@ -105,6 +105,61 @@ def ann_topk(emb_ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id"):
     return _final_topk_coarse(partials, k, id_col)
 
 
+def knn_join(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
+             k: int = 3, id_col: str = "vec_id"):
+    """k-NN join: for each query vector (a row of the SMALL side, broadcast
+    once via ``ray.put``), the top-k most-cosine-similar rows of the big
+    side, EXCLUDING the query row itself (self pairs are masked to -inf
+    inside the batch matmul, so a query whose own vector lives in the big
+    side still gets k true neighbours — unlike a post-hoc filter, which
+    would leave it k-1).
+
+    The contract is broadcast-join: the query side must fit one object-store
+    entry (n_queries × dim float64). At 100 TB the big side streams through
+    ``map_batches`` untouched; only k rows per (query, batch) leave each
+    batch, and the final merge is the same coarse-partition top-k groupby as
+    ``ann_topk``. For a both-sides-large k-NN join, bucket both sides with
+    ``hyperplane_codes`` first (the ``embedding_neardup_lsh`` pattern).
+
+    Output columns: (query_id = the query's ``id_col`` value, id_col, sim).
+    """
+    import ray
+
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qn = normalize_rows(np.asarray(query_mat, dtype=np.float64))
+    ref = ray.put((qids, qn))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, q = ray.get(ref)
+        mat = normalize_rows(batch_matrix(batch))
+        sims = mat @ q.T  # (rows, n_queries)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims[ids[:, None] == qi[None, :]] = -np.inf  # mask self pairs
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, n_queries)
+        n_q = sims.shape[1]
+        qidx = np.repeat(np.arange(n_q), kk)
+        ridx = top.T.reshape(-1)
+        vals = sims[ridx, qidx]
+        keep = np.isfinite(vals)  # a masked self pick can reach top-k only
+        return pa.table({         # in tiny (< k+1 row) batches — drop it
+            "query_id": pa.array(qidx[keep], pa.int64()),
+            id_col: pa.array(ids[ridx][keep], pa.int64()),
+            "sim": pa.array(vals[keep], pa.float64()),
+        })
+
+    partials = emb_ds.map_batches(score, batch_format="pyarrow")
+    merged = _final_topk_coarse(partials, k, id_col)
+
+    def to_qid(t: pa.Table) -> pa.Table:
+        qi, _ = ray.get(ref)
+        idx = t["query_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"query_id": pa.array(qi[idx], pa.int64()),
+                         id_col: t[id_col], "sim": t["sim"]})
+
+    return merged.map_batches(to_qid, batch_format="pyarrow")
+
+
 def kmeans_centroids(mat: np.ndarray, k: int, n_iters: int = 12,
                      seed: int = 42) -> np.ndarray:
     """Lloyd's k-means on unit-normalized vectors (spherical-ish): the IVF
