@@ -95,7 +95,13 @@ def q_table_profile(sf_dir: str):
     count, exact distinct count, lexicographic min/max (bytewise — UTF-8
     byte order equals code-point order, matching DuckDB's binary collation),
     and mean length (shared 6-decimal half-up rounding)."""
-    docs = _read(sf_dir, "documents", list(_PROFILE_COLS))
+    import ray.data as rd
+
+    # pin the read once: both the stats pass and the distinct pass consume
+    # it, and a lazy fan-out would re-execute the parquet read per consumer
+    # (the dedup.py:_pin_refs lesson).
+    docs = rd.from_arrow_refs(
+        _read(sf_dir, "documents", list(_PROFILE_COLS)).to_arrow_refs())
 
     # distinct counts: explode → packed-key groupby → per-batch partial
     # counts per column → 3-row groupby-sum, aligned to the stats schema.
