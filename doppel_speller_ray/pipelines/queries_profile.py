@@ -57,19 +57,23 @@ _SEP = "\x1f"
 
 def _stats_partial(t: pa.Table) -> pa.Table:
     """Per-batch per-column partial: (col, n, n_null, len_sum, mn, mx,
-    n_distinct=0). min/max over non-null values; None when the batch is
-    all-null for that column."""
+    n_distinct=0) — all Arrow kernels, no per-row Python. min/max over
+    non-null values; None when the batch is all-null for that column.
+    ``pc.utf8_length`` counts code points, matching both Python ``len``
+    and DuckDB ``length``."""
+    import pyarrow.compute as pc
+
     cols, ns, nulls, lsums, mns, mxs = [], [], [], [], [], []
     for c in _PROFILE_COLS:
-        v = t[c].to_numpy(zero_copy_only=False)
-        isnull = np.array([x is None for x in v], dtype=bool)
-        nn = v[~isnull]
+        arr = t[c]
         cols.append(c)
-        ns.append(len(v))
-        nulls.append(int(isnull.sum()))
-        lsums.append(int(sum(len(x) for x in nn)))
-        mns.append(min(nn) if len(nn) else None)
-        mxs.append(max(nn) if len(nn) else None)
+        ns.append(len(arr))
+        nulls.append(arr.null_count)
+        ls = pc.sum(pc.utf8_length(arr)).as_py()  # null-skipping
+        lsums.append(int(ls) if ls is not None else 0)
+        mm = pc.min_max(arr)  # bytewise on UTF-8 = code-point order
+        mns.append(mm["min"].as_py())
+        mxs.append(mm["max"].as_py())
     return pa.table({
         "col": pa.array(cols), "n": pa.array(ns, pa.int64()),
         "n_null": pa.array(nulls, pa.int64()),
@@ -80,14 +84,18 @@ def _stats_partial(t: pa.Table) -> pa.Table:
 
 
 def _distinct_explode(t: pa.Table) -> pa.Table:
-    """Distinct (col, value) pairs in this batch, packed as one key."""
-    keys = []
+    """Distinct non-null (col, value) pairs in this batch, packed as one
+    key — Arrow unique + element-wise join, no per-row Python."""
+    import pyarrow.compute as pc
+
+    parts = []
     for c in _PROFILE_COLS:
-        v = t[c].to_numpy(zero_copy_only=False)
-        vals = np.unique(np.asarray([x for x in v if x is not None],
-                                    dtype=object))
-        keys.extend(c + _SEP + x for x in vals)
-    return pa.table({"key": pa.array(keys, pa.string())})
+        vals = pc.unique(t[c].combine_chunks().drop_null())
+        prefix = pa.array([c + _SEP] * len(vals), pa.string())
+        parts.append(pc.binary_join_element_wise(prefix, vals, ""))
+    return pa.table({"key": pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in parts])})
 
 
 def q_table_profile(sf_dir: str):
