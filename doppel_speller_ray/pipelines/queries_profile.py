@@ -294,16 +294,160 @@ QUALIFY row_number() OVER (
 """
 
 
+# ---------------------------------------------------------------------------
+# value_quantiles — exact quantiles over a CONTINUOUS domain
+# ---------------------------------------------------------------------------
+
+_VQ_PS = (0.5, 0.9, 0.99)
+_VQ_W = 8.0                 # coarse bucket width (drill-down pass 1)
+_VQ_OFF = np.int64(1 << 31)  # keeps floor(v/W) non-negative when packing
+
+
+def q_value_quantiles(sf_dir: str):
+    """EXACT per-event_type quantiles of the continuous ``value`` column —
+    the drill-down complement of ``q_length_quantiles`` (whose bincount
+    histogram needs a bounded INTEGER domain): pass 1 builds a coarse
+    width-W bucket histogram (per-batch composite-key np.unique partials →
+    ONE (event_type, bucket) groupby-sum; shuffle cardinality =
+    value_range/W buckets per type, never rows) and locates, per (type,
+    percentile), the bucket holding the lower-nearest-rank target; pass 2
+    re-scans ONLY rows in the ≤ |types|·|ps| selected buckets (tiny set,
+    shipped in the task closure) and grouby-sums their exact distinct
+    values, so the driver's final selection state is O(distinct values
+    within selected buckets) — recurse with a finer W when a single bucket
+    is still too heavy (boilerplate-spike domains). No sort of the corpus,
+    no sketch error: the output is an actual element, bit-equal to the SQL
+    oracle's, with no rounding rule at all. Quantile definition shared
+    with q_length_quantiles: q(p) = smallest v with running_count ≥
+    ceil(p·n)."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    # pinned once: pass 1 and pass 2 both scan it (_pin_refs lesson)
+    ev = rd.from_arrow_refs(
+        _read(sf_dir, "events", ["event_type", "value"]).to_arrow_refs())
+
+    def part1(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / _VQ_W).astype(np.int64) + _VQ_OFF
+        types, inv = np.unique(et, return_inverse=True)
+        key = inv.astype(np.int64) * (np.int64(1) << np.int64(32)) + b
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(types[uk >> 32]),
+            "bucket": pa.array((uk & np.int64((1 << 32) - 1)) - _VQ_OFF,
+                               pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    hist = ev.map_batches(part1, batch_format="pyarrow") \
+        .groupby(["event_type", "bucket"]) \
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    rows = hist.take_all()  # bounded: value_range/W buckets per type
+
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["bucket"], r["cnt"]))
+    sel: set[tuple[str, int]] = set()
+    targets = []  # (type, p, bucket, rank_within_bucket)
+    for ty, bl in by_type.items():
+        bl.sort()
+        bs = np.array([b for b, _ in bl], np.int64)
+        run = np.cumsum([c for _, c in bl])
+        n = int(run[-1])
+        for p in _VQ_PS:
+            rank = max(1, math.ceil(p * n))
+            i = int(np.searchsorted(run, rank))
+            sel.add((ty, int(bs[i])))
+            targets.append((ty, p, int(bs[i]),
+                            rank - (int(run[i - 1]) if i else 0)))
+
+    picked = sorted(sel)
+
+    def part2(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / _VQ_W).astype(np.int64)
+        mask = np.zeros(len(v), dtype=bool)
+        for ty, bk in picked:  # bounded: ≤ |types|·|ps| entries
+            mask |= (et == ty) & (b == bk)
+        et, v = et[mask], v[mask]
+        # exact distinct (type, value) partial counts: bounded loop over
+        # the ≤ |selected| types present, vectorized np.unique inside.
+        # Doubles ride as their IEEE-754 bits (lossless int64 groupby key);
+        # the final selection sorts the reconstructed floats, so bit-order
+        # caveats for negatives never apply.
+        ets, vbs, cnts = [], [], []
+        for ty in np.unique(et):
+            uv, cnt = np.unique(v[et == ty], return_counts=True)
+            ets.extend([ty] * len(uv))
+            vbs.append(uv.view(np.int64))
+            cnts.append(cnt)
+        empty = np.array([], np.int64)
+        return pa.table({
+            "event_type": pa.array(ets, pa.string()),
+            "vbits": pa.array(np.concatenate(vbs) if vbs else empty,
+                              pa.int64()),
+            "cnt": pa.array(np.concatenate(cnts) if cnts else empty,
+                            pa.int64()),
+        })
+
+    fine = ev.map_batches(part2, batch_format="pyarrow") \
+        .groupby(["event_type", "vbits"]) \
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    rows2 = fine.take_all()  # bounded: distinct values in selected buckets
+
+    fine_by_type: dict[str, list[tuple[float, int]]] = {}
+    for r in rows2:
+        fine_by_type.setdefault(r["event_type"], []).append(
+            (float(np.int64(r["vbits"]).view(np.float64)), r["cnt"]))
+    out_t, out_p, out_q = [], [], []
+    for ty, p, bk, r_in in targets:
+        vl = sorted((v, c) for v, c in fine_by_type[ty]
+                    if math.floor(v / _VQ_W) == bk)
+        run = np.cumsum([c for _, c in vl])
+        out_t.append(ty)
+        out_p.append(p)
+        out_q.append(vl[int(np.searchsorted(run, r_in))][0])
+    return pa.table({"event_type": pa.array(out_t),
+                     "p": pa.array(out_p, pa.float64()),
+                     "q": pa.array(out_q, pa.float64())})
+
+
+def _sql_vq_one(p: float) -> str:
+    return f"""
+SELECT event_type, {p} AS p, min(v) AS q
+FROM r WHERE run >= ceil({p} * n) GROUP BY event_type"""
+
+
+SQL_VALUE_QUANTILES = f"""
+WITH c AS (SELECT event_type, value AS v, count(*) AS cnt
+           FROM events GROUP BY event_type, value),
+r AS (SELECT event_type, v,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS run,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c)
+{" UNION ALL ".join(_sql_vq_one(p) for p in _VQ_PS)}
+"""
+
+
 PROFILE_QUERIES = {
     "table_profile": q_table_profile,
     "sample_per_group": q_sample_per_group,
     "knn_join": q_knn_join,
+    "value_quantiles": q_value_quantiles,
 }
 
 PROFILE_ORACLES = {
     "table_profile": SQL_TABLE_PROFILE,
     "sample_per_group": SQL_SAMPLE_PER_GROUP,
     "knn_join": SQL_KNN_JOIN,
+    "value_quantiles": SQL_VALUE_QUANTILES,
 }
 
 # Merge into the main catalog regardless of import order (the

@@ -77,6 +77,33 @@ def test_sample_per_group_is_hash_rank_head(ray_session):
         assert set(got) == set(expect)
 
 
+def test_value_quantiles_hand_case(ray_session):
+    # type "a": n=5, p50 rank=ceil(2.5)=3 → 2.0 (run 1@1.0, 3@2.0);
+    # p90/p99 rank=5 → 100.5. 8.0 sits exactly on a bucket boundary
+    # (floor(8/W)=1 with W=8). type "b": constant column.
+    t = pa.table({
+        "event_type": pa.array(["a"] * 5 + ["b"] * 3),
+        "value": pa.array([1.0, 2.0, 2.0, 8.0, 100.5, 7.0, 7.0, 7.0]),
+    })
+    orig = _patch_read(t)
+    try:
+        out = qp.q_value_quantiles("x").to_pandas()
+    finally:
+        qp._read = orig
+    out = out.set_index(["event_type", "p"])["q"]
+    assert out[("a", 0.5)] == 2.0
+    assert out[("a", 0.9)] == 100.5
+    assert out[("a", 0.99)] == 100.5
+    assert (out.loc["b"] == 7.0).all()
+
+    con = duckdb.connect()
+    con.register("events", t)
+    odf = con.execute(qp.SQL_VALUE_QUANTILES).df() \
+        .set_index(["event_type", "p"])["q"]
+    pd.testing.assert_series_equal(out.sort_index(), odf.sort_index(),
+                                   check_names=False)
+
+
 def test_knn_join_excludes_self_keeps_duplicates(ray_session):
     from doppel_speller_ray.stages.embed import knn_join
     import ray.data as rd
