@@ -18,6 +18,11 @@ from doppel_speller_ray.pipelines.queries_semistruct import (
     q_pivot_user_values,
     q_triangle_count,
 )
+from doppel_speller_ray.pipelines.queries_profile import (
+    q_sample_per_group,
+    q_table_profile,
+    q_value_quantiles,
+)
 from doppel_speller_ray.pipelines.queries_sketches import q_cms_heavy_hitters
 from doppel_speller_ray.pipelines.queries_web import q_bm25_topk
 from doppel_speller_ray.pipelines.queries_window import (
@@ -59,10 +64,12 @@ def test_docs_tier_partitioning_invariance(ray_session, tmp_path):
         "lang": pa.array([["en", "fr", "de"][i % 3] for i in range(n)]),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
+    tbl = tbl.append_column("source", pa.array(
+        [["web", "wiki"][i % 2] for i in range(n)]))
     one, many = _write_split(tmp_path, "documents", tbl)
     for fn in (q_prefix_jaccard_join, q_posting_lists, q_cms_heavy_hitters,
                q_bm25_topk, q_percent_rank_length, q_triangle_count,
-               q_cdc_chunks):
+               q_cdc_chunks, q_table_profile, q_sample_per_group):
         a, b = _canon(fn(one)), _canon(fn(many))
         pd.testing.assert_frame_equal(a, b), fn.__name__
 
@@ -84,6 +91,6 @@ def test_events_tier_partitioning_invariance(ray_session, tmp_path):
     })
     one, many = _write_split(tmp_path, "events", tbl)
     for fn in (q_range_join, q_events_debounce, q_time_to_next_event,
-               q_json_props_stats, q_pivot_user_values):
+               q_json_props_stats, q_pivot_user_values, q_value_quantiles):
         a, b = _canon(fn(one)), _canon(fn(many))
         pd.testing.assert_frame_equal(a, b), fn.__name__
