@@ -117,17 +117,25 @@ def q_table_profile(sf_dir: str):
         .groupby("key").count()
 
     def dist_partial(t: pa.Table) -> pa.Table:
-        keys = t["key"].to_numpy(zero_copy_only=False)
-        cols = np.asarray([k.split(_SEP, 1)[0] for k in keys], dtype=object)
-        u, cnt = np.unique(cols, return_counts=True)
-        z = [0] * len(u)
+        # key blocks are distinct-value-scale — count per column with one
+        # vectorized starts_with per bounded profile column, never a
+        # Python split per key.
+        import pyarrow.compute as pc
+
+        cols, cnts = [], []
+        for c in _PROFILE_COLS:
+            m = pc.sum(pc.starts_with(t["key"], pattern=c + _SEP)).as_py()
+            if m:
+                cols.append(c)
+                cnts.append(int(m))
+        z = [0] * len(cols)
         return pa.table({
-            "col": pa.array(u), "n": pa.array(z, pa.int64()),
+            "col": pa.array(cols, pa.string()), "n": pa.array(z, pa.int64()),
             "n_null": pa.array(z, pa.int64()),
             "len_sum": pa.array(z, pa.int64()),
-            "mn": pa.array([None] * len(u), pa.string()),
-            "mx": pa.array([None] * len(u), pa.string()),
-            "n_distinct": pa.array(cnt, pa.int64()),
+            "mn": pa.array([None] * len(cols), pa.string()),
+            "mx": pa.array([None] * len(cols), pa.string()),
+            "n_distinct": pa.array(cnts, pa.int64()),
         })
 
     stats = docs.map_batches(_stats_partial, batch_format="pyarrow")
