@@ -520,7 +520,11 @@ if __name__ == "__main__":
     elif "--recall" in sys.argv:
         print(json.dumps(run_recall()))
     elif "--dedup-only" in sys.argv:
+        # default to the documents table, not the sf dir (which holds
+        # every table and would read mixed schemas)
         print(json.dumps(run_dedup_only(
-            os.environ.get("GRAFT_DEDUP_INPUT", SF_DIR), NUM_CPUS)))
+            os.environ.get("GRAFT_DEDUP_INPUT",
+                           os.path.join(SF_DIR, "documents.parquet")),
+            NUM_CPUS)))
     else:
         print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))
