@@ -308,7 +308,6 @@ QUALIFY row_number() OVER (
 
 _VQ_PS = (0.5, 0.9, 0.99)
 _VQ_W = 8.0                 # coarse bucket width (drill-down pass 1)
-_VQ_OFF = np.int64(1 << 31)  # keeps floor(v/W) non-negative when packing
 
 
 def q_value_quantiles(sf_dir: str):
@@ -338,18 +337,28 @@ def q_value_quantiles(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "value"]).to_arrow_refs())
 
     def part1(t: pa.Table) -> pa.Table:
+        # bounded loop over the ≤ |types| event types in the batch (the
+        # lang-loop convention), vectorized np.unique inside. NOT a packed
+        # (type, bucket) int64 key: a wide value domain makes the bucket
+        # index exceed 32 bits (v = 1e12, W = 8 → bucket ≈ 1.25e11), which
+        # a bit-pack silently corrupts — caught by the pathological probe.
         et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False),
                         dtype=object)
         v = t["value"].to_numpy(zero_copy_only=False)
-        b = np.floor(v / _VQ_W).astype(np.int64) + _VQ_OFF
-        types, inv = np.unique(et, return_inverse=True)
-        key = inv.astype(np.int64) * (np.int64(1) << np.int64(32)) + b
-        uk, cnt = np.unique(key, return_counts=True)
+        b = np.floor(v / _VQ_W).astype(np.int64)
+        ets, bks, cnts = [], [], []
+        for ty in np.unique(et):
+            ub, cnt = np.unique(b[et == ty], return_counts=True)
+            ets.extend([ty] * len(ub))
+            bks.append(ub)
+            cnts.append(cnt)
+        empty = np.array([], np.int64)
         return pa.table({
-            "event_type": pa.array(types[uk >> 32]),
-            "bucket": pa.array((uk & np.int64((1 << 32) - 1)) - _VQ_OFF,
+            "event_type": pa.array(ets, pa.string()),
+            "bucket": pa.array(np.concatenate(bks) if bks else empty,
                                pa.int64()),
-            "cnt": pa.array(cnt, pa.int64()),
+            "cnt": pa.array(np.concatenate(cnts) if cnts else empty,
+                            pa.int64()),
         })
 
     hist = ev.map_batches(part1, batch_format="pyarrow") \
