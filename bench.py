@@ -490,27 +490,67 @@ def run_ceiling(num_cpus: int) -> dict:
             "num_cpus": num_cpus, "cpu_core_seconds": round(cpu, 1)}
 
 
+def run_ceiling_pair() -> dict:
+    """The --ceiling measurement: the zero-shuffle numpy control at 8 and
+    32 CPUs in fresh subprocesses; `value` is the wall scaling efficiency
+    of the control (the honest ceiling any pipeline number must be read
+    against on this host)."""
+    lo = subprocess.run([sys.executable, os.path.abspath(__file__),
+                         "--ceiling-one"],
+                        env=dict(os.environ, RAY_GRAFT_CPUS="8"),
+                        capture_output=True, text=True, check=True).stdout
+    hi = subprocess.run([sys.executable, os.path.abspath(__file__),
+                         "--ceiling-one"],
+                        env=dict(os.environ, RAY_GRAFT_CPUS="32"),
+                        capture_output=True, text=True, check=True).stdout
+    lo_j = json.loads(lo.strip().splitlines()[-1])
+    hi_j = json.loads(hi.strip().splitlines()[-1])
+    lo_v, hi_v = lo_j["value"], hi_j["value"]
+    return {"metric": "ceiling_efficiency",
+            "value": round((lo_v / hi_v) / 4, 3),
+            "sec_8": lo_v, "sec_32": hi_v,
+            "cpu_core_seconds_8": lo_j.get("cpu_core_seconds"),
+            "cpu_core_seconds_32": hi_j.get("cpu_core_seconds"),
+            "cpu_efficiency": round(
+                lo_j["cpu_core_seconds"] / hi_j["cpu_core_seconds"], 3)
+            if lo_j.get("cpu_core_seconds") else None}
+
+
+def run_scaling_watch() -> dict:
+    """Window-catcher for the official scaling number: poll the
+    host-ceiling gate (BASELINE round-3 protocol — an official --scaling
+    attempt is honest only when the zero-shuffle control itself scales
+    ≥ GRAFT_WATCH_GATE, default 0.58, from 8→32 CPUs) and fire
+    run_scaling() the FIRST time the gate clears. Nothing else may run on
+    the host during the watch. GRAFT_WATCH_TRIES attempts (default 8),
+    GRAFT_WATCH_GAP seconds apart (default 900). Emits each gate check to
+    stderr; stdout stays one JSON line (the scaling result, or the gate
+    log if the window never opened)."""
+    tries = int(os.environ.get("GRAFT_WATCH_TRIES", "8"))
+    gap = int(os.environ.get("GRAFT_WATCH_GAP", "900"))
+    gate = float(os.environ.get("GRAFT_WATCH_GATE", "0.58"))
+    log = []
+    for i in range(tries):
+        c = run_ceiling_pair()
+        log.append(c["value"])
+        print(json.dumps({"watch_attempt": i, **c}), file=sys.stderr,
+              flush=True)
+        if c["value"] >= gate:
+            res = run_scaling()
+            res["ceiling_at_fire"] = c["value"]
+            res["ceiling_log"] = log
+            return res
+        if i < tries - 1:
+            time.sleep(gap)
+    return {"metric": "scaling_watch_gate_never_cleared", "gate": gate,
+            "ceiling_log": log}
+
+
 if __name__ == "__main__":
     if "--ceiling" in sys.argv:
-        lo = subprocess.run([sys.executable, os.path.abspath(__file__),
-                             "--ceiling-one"],
-                            env=dict(os.environ, RAY_GRAFT_CPUS="8"),
-                            capture_output=True, text=True, check=True).stdout
-        hi = subprocess.run([sys.executable, os.path.abspath(__file__),
-                             "--ceiling-one"],
-                            env=dict(os.environ, RAY_GRAFT_CPUS="32"),
-                            capture_output=True, text=True, check=True).stdout
-        lo_j = json.loads(lo.strip().splitlines()[-1])
-        hi_j = json.loads(hi.strip().splitlines()[-1])
-        lo_v, hi_v = lo_j["value"], hi_j["value"]
-        print(json.dumps({"metric": "ceiling_efficiency",
-                          "value": round((lo_v / hi_v) / 4, 3),
-                          "sec_8": lo_v, "sec_32": hi_v,
-                          "cpu_core_seconds_8": lo_j.get("cpu_core_seconds"),
-                          "cpu_core_seconds_32": hi_j.get("cpu_core_seconds"),
-                          "cpu_efficiency": round(
-                              lo_j["cpu_core_seconds"] / hi_j["cpu_core_seconds"], 3)
-                          if lo_j.get("cpu_core_seconds") else None}))
+        print(json.dumps(run_ceiling_pair()))
+    elif "--scaling-watch" in sys.argv:
+        print(json.dumps(run_scaling_watch()))
     elif "--ceiling-one" in sys.argv:
         print(json.dumps(run_ceiling(NUM_CPUS)))
     elif "--scaling" in sys.argv:
