@@ -529,13 +529,17 @@ def run_scaling_watch() -> dict:
     tries = int(os.environ.get("GRAFT_WATCH_TRIES", "8"))
     gap = int(os.environ.get("GRAFT_WATCH_GAP", "900"))
     gate = float(os.environ.get("GRAFT_WATCH_GATE", "0.58"))
+    # a clear must come from a FAST 32-leg, not a storm-degraded 8-leg
+    # (observed: sec_8 10.35 s vs its ~5.5 s clean norm opened the gate
+    # spuriously and the fired run spread 0.221-0.802 across pairs)
+    sec8_max = float(os.environ.get("GRAFT_WATCH_SEC8_MAX", "7.0"))
     log = []
     for i in range(tries):
         c = run_ceiling_pair()
         log.append(c["value"])
         print(json.dumps({"watch_attempt": i, **c}), file=sys.stderr,
               flush=True)
-        if c["value"] >= gate:
+        if c["value"] >= gate and c["sec_8"] <= sec8_max:
             res = run_scaling()
             res["ceiling_at_fire"] = c["value"]
             res["ceiling_log"] = log
