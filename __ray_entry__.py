@@ -32,27 +32,35 @@ def entry() -> Any:
     return res.clusters
 
 
-#: catalog entries with a green CORRECTNESS row in a PRIOR round (r01–r03).
-#: The driver certifies a bounded number of entries per round in enumeration
-#: order, so never-certified entries must enumerate FIRST — anything not in
-#: this set (round-3's 14 uncertified corpus/web entries, the substring_pairs
-#: red row, and any entry added this round) sorts to the head of the dict.
-_PRIOR_GREEN = frozenset({
-    "normalize", "tokenize", "word_df", "word_idf", "ngram_df",
-    "exact_dedup_first", "exact_text_groups", "grouped_argmax", "top_docs",
-    "token_count", "lev_distance", "ngram_jaccard_pairs", "ann_topk",
-    "ann_ivf", "embedding_neardup", "lineitem_agg", "customer_orders",
-    "events_hourly", "minhash_lsh_clusters", "simhash", "fingerprint",
-    "bpe_tokens", "lang_id", "quality", "containment_pairs",
-    "embedding_neardup_lsh", "cc_labels", "match_titles", "winnow",
-    "idf_jaccard_pairs", "customers_without_orders", "event_sessions",
-    "top2_orders_per_customer", "customers_per_region", "sample_fraction",
-    "event_type_counts", "doc_length_histogram", "revenue_by_nation",
-    "asof_purchase_click", "extract_text", "url_canon", "dup_words",
-    "boilerplate", "length_quantiles", "quantiles_by_lang",
-    "stratified_sample", "top_words_per_lang", "weighted_sample",
-    "rollup_qty",
-})
+def _prior_green() -> frozenset:
+    """Catalog entries with a green CORRECTNESS row in ANY prior round.
+
+    The driver certifies a bounded number of entries per round in
+    enumeration order, so never-certified entries must enumerate FIRST —
+    anything not in this set (new tiers, prior red rows) sorts to the head
+    of the dict. Derived from the CORRECTNESS_r*.json files the driver
+    itself wrote, so the ordering self-updates every round with no manual
+    list to maintain ("green" = the full gate: rows + schema + hash)."""
+    import glob
+    import json
+    import os
+
+    green: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (isinstance(row, dict) and row.get("rows_match")
+                    and row.get("schema_match") and row.get("hash_match")):
+                green.add(name)
+    return frozenset(green)
+
+
+_PRIOR_GREEN = _prior_green()
 
 
 def _uncertified_first(d: dict) -> dict:
