@@ -2365,6 +2365,17 @@ try:
 except ImportError:
     pass  # same mid-initialization convention as queries_corpus above
 
+try:
+    from .queries_tokenizer import (  # noqa: E402
+        TOKENIZER_ORACLES,
+        TOKENIZER_QUERIES,
+    )
+
+    QUERIES.update(TOKENIZER_QUERIES)
+    ORACLES.update(TOKENIZER_ORACLES)
+except ImportError:
+    pass  # same mid-initialization convention as queries_corpus above
+
 
 # ---------------------------------------------------------------------------
 # Multimodal decode under the driver gate: synthesized two-stripe BMPs run
