@@ -2376,6 +2376,17 @@ try:
 except ImportError:
     pass  # same mid-initialization convention as queries_corpus above
 
+try:
+    from .queries_classifier import (  # noqa: E402
+        CLASSIFIER_ORACLES,
+        CLASSIFIER_QUERIES,
+    )
+
+    QUERIES.update(CLASSIFIER_QUERIES)
+    ORACLES.update(CLASSIFIER_ORACLES)
+except ImportError:
+    pass  # same mid-initialization convention as queries_corpus above
+
 
 # ---------------------------------------------------------------------------
 # Multimodal decode under the driver gate: synthesized two-stripe BMPs run

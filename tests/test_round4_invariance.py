@@ -24,6 +24,7 @@ from doppel_speller_ray.pipelines.queries_profile import (
     q_value_quantiles,
 )
 from doppel_speller_ray.pipelines.queries_sketches import q_cms_heavy_hitters
+from doppel_speller_ray.pipelines.queries_classifier import q_logreg_train
 from doppel_speller_ray.pipelines.queries_tokenizer import q_bpe_train
 from doppel_speller_ray.pipelines.queries_web import q_bm25_topk
 from doppel_speller_ray.pipelines.queries_window import (
@@ -71,7 +72,7 @@ def test_docs_tier_partitioning_invariance(ray_session, tmp_path):
     for fn in (q_prefix_jaccard_join, q_posting_lists, q_cms_heavy_hitters,
                q_bm25_topk, q_percent_rank_length, q_triangle_count,
                q_cdc_chunks, q_table_profile, q_sample_per_group,
-               q_bpe_train):
+               q_bpe_train, q_logreg_train):
         a, b = _canon(fn(one)), _canon(fn(many))
         pd.testing.assert_frame_equal(a, b), fn.__name__
 
