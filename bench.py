@@ -140,7 +140,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "percent_rank_length", "json_props_stats", "pivot_user_values",
         "triangle_count", "bm25_topk", "cdc_chunks",
         "multimodal_image_stats", "multimodal_audio_stats",
-        "table_profile", "sample_per_group", "knn_join", "value_quantiles"))
+        "table_profile", "sample_per_group", "knn_join", "value_quantiles",
+        "bpe_train", "logreg_train"))
     secondary["simhash"] = Q.q_simhash_values
     secondary["fingerprint"] = Q.q_fingerprint_values
     for name, fn in secondary.items():

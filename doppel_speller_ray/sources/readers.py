@@ -63,6 +63,35 @@ def read_pages(paths, columns=None, lang: str | None = None):
     return rd.read_parquet(paths, **kwargs)
 
 
+def read_mapped_jsonl(path: str,
+                      column_mapping: list[tuple[str, tuple[str, object]]]):
+    """JSONL → Dataset with the same declared-mapping contract as
+    ``read_mapped_csv`` (rename/cast as ONE Arrow projection, missing
+    source columns raise at the first batch).
+
+    JSONL is the dominant interchange format for web-text corpora
+    (Common-Crawl derivatives, HF datasets); ``ray.data.read_json`` splits
+    by file and streams line-blocks, so the projection stays zero-copy
+    Arrow and the reader scales like the Parquet path. No reference
+    analogue (the reference reads pipe-CSV only) — source-tier widening.
+    """
+    import ray.data as rd
+
+    ds = rd.read_json(path)
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {}
+        for dst, (src, dtype) in column_mapping:
+            if src not in t.column_names:
+                raise ValueError(
+                    f"column {src!r} required by mapping not in JSONL "
+                    f"(have {t.column_names})")
+            cols[dst] = t[src].cast(_DTYPES.get(dtype, pa.string()))
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def single_title_dataset(title: str, test_index: int = 0):
     """S5: 1-row Dataset from a CLI string (common.py:123-137)."""
     import ray.data as rd

@@ -27,6 +27,29 @@ def test_read_mapped_csv_missing_column(ray_session, tmp_path):
         ds.take_all()
 
 
+def test_read_mapped_jsonl(ray_session, tmp_path):
+    from doppel_speller_ray.sources.readers import read_mapped_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"id": 7, "content": "hello web", "meta": "x"}\n'
+                 '{"id": 8, "content": "bye web", "meta": "y"}\n')
+    ds = read_mapped_jsonl(str(p), [("doc_id", ("id", int)),
+                                    ("text", ("content", str))])
+    rows = ds.take_all()
+    assert rows == [{"doc_id": 7, "text": "hello web"},
+                    {"doc_id": 8, "text": "bye web"}]
+
+
+def test_read_mapped_jsonl_missing_column(ray_session, tmp_path):
+    from doppel_speller_ray.sources.readers import read_mapped_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"a": 1}\n')
+    ds = read_mapped_jsonl(str(p), [("doc_id", ("id", int))])
+    with pytest.raises(Exception, match="id"):
+        ds.take_all()
+
+
 def test_read_pages_pruning(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
