@@ -18,8 +18,10 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline: MinHash/LSH near-dup detection + clustering over
-    the sf0.001 documents table. Returns the clusters Dataset
-    (doc_id:int64, cluster_id:int64), one row per input document."""
+    the sf0.001 documents table, with the containment (substring) tier on —
+    the full north-star DAG (exact → LSH → verify → containment → CC).
+    Returns the clusters Dataset (doc_id:int64, cluster_id:int64), one row
+    per input document."""
     import ray.data as rd
 
     from doppel_speller_ray.config import DedupConfig
@@ -28,7 +30,7 @@ def entry() -> Any:
     ds = rd.read_parquet(
         "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
     )
-    res = dedup_pipeline(ds, DedupConfig(max_chars=None))
+    res = dedup_pipeline(ds, DedupConfig(max_chars=None, containment=True))
     return res.clusters
 
 
