@@ -106,19 +106,27 @@ def hash_sample_mask(ids: np.ndarray, fraction: float, seed: int = 0) -> np.ndar
     return fmix32(ids, seed) < threshold
 
 
-def sql_hash_sample(table: str, id_col: str, fraction: float, seed: int = 0,
-                    select: str = "*") -> str:
-    """DuckDB SQL computing the exact same sample as hash_sample_mask."""
-    threshold = int(fraction * 2**32)
-    return f"""
-SELECT {select} FROM (
+def sql_fmix32_subquery(table: str, id_col: str, seed: int = 0) -> str:
+    """DuckDB subquery exposing every column of `table` plus `_h5` =
+    fmix32(id_col ^ seed) — step-for-step the same 32-bit lanes as
+    :func:`fmix32`, so any hash-gated membership rule built on `_h5`
+    (sampling thresholds, split assignment) is bit-identical cross-engine."""
+    return f"""(
   SELECT *, CAST(xor(h4, h4 >> 16) AS BIGINT) AS _h5 FROM (
     SELECT *, CAST((CAST(h3 AS HUGEINT) * 3266489917) % 4294967296 AS BIGINT) AS h4 FROM (
       SELECT *, xor(h2, h2 >> 13) AS h3 FROM (
         SELECT *, CAST((CAST(h1 AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS h2 FROM (
           SELECT *, xor(h0, h0 >> 16) AS h1 FROM (
             SELECT *, xor({id_col}, {seed}) % 4294967296 AS h0 FROM {table}
-          ))))))
+          ))))))"""
+
+
+def sql_hash_sample(table: str, id_col: str, fraction: float, seed: int = 0,
+                    select: str = "*") -> str:
+    """DuckDB SQL computing the exact same sample as hash_sample_mask."""
+    threshold = int(fraction * 2**32)
+    return f"""
+SELECT {select} FROM {sql_fmix32_subquery(table, id_col, seed)}
 WHERE _h5 < {threshold}
 """
 

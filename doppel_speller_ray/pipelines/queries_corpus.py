@@ -800,6 +800,50 @@ def _sql_shuffle_rank() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic train/valid/test split — hash-gated, repartition-stable
+# ---------------------------------------------------------------------------
+
+SPLIT_SEED = 1013
+SPLIT_TRAIN, SPLIT_VALID = 0.90, 0.05  # rest = test
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/valid/test split assignment (every training-data
+    pipeline's last step before packing): split = pure function of
+    fmix32(doc_id ^ seed) against cumulative ratio thresholds — the same
+    hash-gated membership contract as `sample_fraction` / `shuffle_rank`,
+    so assignment is stable under retries, repartitioning, resume, AND
+    later corpus growth (a doc's split never changes when neighbours are
+    added or removed — the property RNG- or rank-based splits lack, and
+    the reason leakage audits can re-derive membership offline). Embarrass-
+    ingly parallel: one vectorized map_batches, no shuffle at any scale."""
+    from ..functions.hashing import fmix32
+
+    t1 = np.uint64(int(SPLIT_TRAIN * 2**32))
+    t2 = np.uint64(int((SPLIT_TRAIN + SPLIT_VALID) * 2**32))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = fmix32(ids, seed=SPLIT_SEED)
+        split = np.where(h < t1, "train", np.where(h < t2, "valid", "test"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "split": pa.array(split, pa.string())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+def _sql_split_assign() -> str:
+    from ..functions.hashing import sql_fmix32_subquery
+
+    t1 = int(SPLIT_TRAIN * 2**32)
+    t2 = int((SPLIT_TRAIN + SPLIT_VALID) * 2**32)
+    sub = sql_fmix32_subquery("documents", "doc_id", seed=SPLIT_SEED)
+    return (f"SELECT doc_id, CASE WHEN _h5 < {t1} THEN 'train' "
+            f"WHEN _h5 < {t2} THEN 'valid' ELSE 'test' END AS split "
+            f"FROM {sub}")
+
+
+# ---------------------------------------------------------------------------
 # Incremental delta-ingest clustering — oracled end-to-end
 # ---------------------------------------------------------------------------
 
@@ -1341,6 +1385,7 @@ CORPUS_QUERIES = {
     "lsh_join": q_lsh_join,
     "events_sliding": q_events_sliding,
     "shuffle_rank": q_shuffle_rank,
+    "split_assign": q_split_assign,
     "incremental_clusters": q_incremental_clusters,
 }
 
@@ -1360,6 +1405,7 @@ CORPUS_ORACLES = {
     "lsh_join": SQL_LSH_JOIN,
     "events_sliding": SQL_EVENTS_SLIDING,
     "shuffle_rank": _sql_shuffle_rank(),
+    "split_assign": _sql_split_assign(),
     "incremental_clusters": SQL_INCREMENTAL_CLUSTERS,
 }
 

@@ -284,3 +284,33 @@ def test_chunk_passages_window_boundaries(ray_session, tmp_path):
     d2 = out[out.doc_id == 2]
     assert list(d2.n_words) == [64, 17] and list(d2.chunk_id) == [0, 1]
     assert d2.passage.iloc[1].split(" ") == [f"v{i}" for i in range(48, 65)]
+
+
+def test_split_assign_stable_under_corpus_growth(ray_session, tmp_path):
+    """The property RNG/rank splits lack: a doc's split assignment is a
+    pure function of its id, so growing the corpus (or re-partitioning it)
+    never reassigns an existing doc. Also sanity-checks the realized
+    ratios against the configured thresholds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doppel_speller_ray.pipelines import queries_corpus as QC
+
+    small = tmp_path / "small"
+    big = tmp_path / "big"
+    small.mkdir(); big.mkdir()
+    ids_small = list(range(0, 400))
+    ids_big = list(range(0, 2000))  # superset, interleaved growth
+    for d, ids in ((small, ids_small), (big, ids_big)):
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(["x"] * len(ids))}),
+                       f"{d}/documents.parquet")
+    a = dict(QC.q_split_assign(str(small)).to_pandas()
+             .itertuples(index=False, name=None))
+    b = dict(QC.q_split_assign(str(big)).to_pandas()
+             .itertuples(index=False, name=None))
+    assert all(b[i] == a[i] for i in ids_small)
+    frac_train = sum(1 for v in b.values() if v == "train") / len(b)
+    frac_valid = sum(1 for v in b.values() if v == "valid") / len(b)
+    assert abs(frac_train - QC.SPLIT_TRAIN) < 0.03
+    assert abs(frac_valid - QC.SPLIT_VALID) < 0.02
