@@ -256,6 +256,44 @@ class BoostedPairModel:
             return pickle.load(f)
 
 
+class EnsemblePairModel:
+    """Bagged verifier: mean probability over independently trained
+    members. The members differ by MatchConfig.seed, which drives the
+    misspelling draws in pair generation — so bagging averages over
+    training-DISTRIBUTION variance, the suspected gap behind low-p true
+    matches in the golden sweep (BASELINE round-3 dominance analysis),
+    not just over subsample noise. Duck-type-compatible with
+    BoostedPairModel everywhere the matcher touches a model
+    (predict_proba, edges for model_n_features, save/load pickle)."""
+
+    def __init__(self, members: list):
+        if not members:
+            raise ValueError("ensemble needs at least one member")
+        n_feats = {len(m.edges) for m in members}
+        if len(n_feats) != 1:
+            raise ValueError(f"members expect different feature dims: {n_feats}")
+        self.members = members
+
+    @property
+    def edges(self):
+        return self.members[0].edges
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        p = self.members[0].predict_proba(X)
+        for m in self.members[1:]:
+            p = p + m.predict_proba(X)
+        return p / len(self.members)
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(path: str) -> "EnsemblePairModel":
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
 def model_n_features(model) -> int | None:
     """Feature count a trained verifier expects — how callers decide
     whether to append the extended (IDF-Jaccard + rank) features. Reads the

@@ -90,3 +90,30 @@ def test_check_id_collisions(ray_session):
 
     urls = [{"url": f"https://example.org/page/{i}"} for i in range(500)]
     assert check_id_collisions(rd.from_items(urls)) == 0
+
+
+def test_ensemble_mean_and_roundtrip(tmp_path):
+    """EnsemblePairModel: probability = member mean, feature-family
+    detection reads member 0's bins, pickle round-trips, and mixed
+    feature dims are rejected."""
+    from doppel_speller_ray.stages.pair_model import (
+        BoostedPairModel, EnsemblePairModel, model_n_features)
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 1, (4000, 6))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float)
+    a = BoostedPairModel(n_rounds=15, subsample=1.0, beta=1.0, seed=1).fit(X, y)
+    b = BoostedPairModel(n_rounds=15, subsample=1.0, beta=1.0, seed=2).fit(X, y)
+    ens = EnsemblePairModel([a, b])
+    Xq = rng.normal(0, 1, (200, 6))
+    np.testing.assert_allclose(
+        ens.predict_proba(Xq),
+        (a.predict_proba(Xq) + b.predict_proba(Xq)) / 2, rtol=1e-12)
+    assert model_n_features(ens) == 6
+    p = tmp_path / "ens.pickle"
+    ens.save(str(p))
+    back = EnsemblePairModel.load(str(p))
+    np.testing.assert_allclose(back.predict_proba(Xq), ens.predict_proba(Xq))
+    c = BoostedPairModel(n_rounds=5, subsample=1.0, beta=1.0).fit(X[:, :4], y)
+    with pytest.raises(ValueError):
+        EnsemblePairModel([a, c])
