@@ -50,8 +50,7 @@ def main() -> int:
     model, metrics = train_verifier(
         truth, cfg, model_path=args.out, extra_features=False,
         model_params={"n_rounds": args.rounds,
-                      "early_stopping_rounds": args.patience,
-                      "seed": args.seed})
+                      "early_stopping_rounds": args.patience})
     print(json.dumps({"seed": args.seed, "out": args.out,
                       "train_seconds": round(time.time() - t0, 1),
                       "n_trees": len(model.trees),
