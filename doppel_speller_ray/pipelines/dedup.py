@@ -313,3 +313,8 @@ def write_clusters(result: DedupResult, out_dir: str,
         ds.write_parquet(out_dir, mode="overwrite", partition_cols=["shard"])
     else:
         result.clusters.sort("doc_id").write_parquet(out_dir, mode="overwrite")
+    # final-output lineage: per-part rows/bytes/content-signature manifest
+    # (north_rule metrics apply to the sink, not just stage checkpoints)
+    from ..state.checkpoint import write_output_manifest
+
+    write_output_manifest(out_dir, extra={"stats": result.stats})

@@ -154,3 +154,36 @@ def read_or_run(ds_factory, out_dir: str | None, stage: str, cfg: Any,
     if checkpoint_valid(out_dir, stage, fp):
         return read_checkpoint(out_dir, stage)
     return write_checkpoint(ds_factory(), out_dir, stage, fp)
+
+
+def write_output_manifest(out_dir: str, extra: dict | None = None) -> dict:
+    """Per-partition lineage + metrics for a FINAL output directory (the
+    north_rule clause applies to the sink, not just intermediate stage
+    checkpoints): walk every part file under ``out_dir`` (including hive
+    shard subdirectories), record rows / bytes / content signature per
+    file — stats computed in parallel Ray tasks, never on the driver —
+    and write ``manifest.json`` at the directory root. A resuming or
+    auditing consumer can verify any shard independently against it."""
+    import ray
+
+    files = []
+    for root, _dirs, names in os.walk(out_dir):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                files.append(os.path.join(root, n))
+    files.sort()
+    stats_task = ray.remote(num_cpus=0.5)(_file_stats_task)
+    stats = ray.get([stats_task.remote(f) for f in files])
+    for path, s in zip(files, stats):
+        s["file"] = os.path.relpath(path, out_dir)
+    manifest = {
+        "n_files": len(files),
+        "total_rows": sum(s["rows"] for s in stats),
+        "partitions": stats,
+        **(extra or {}),
+    }
+    # underscore prefix: pyarrow/Ray parquet discovery skips _-prefixed
+    # files, so read_parquet(out_dir) keeps working on the manifested dir
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

@@ -153,3 +153,25 @@ def test_distributed_cc_resumes_from_round_checkpoint(ray_session, tmp_path, mon
     want_nodes, want_roots = cc_numpy(left, right)
     want = dict(zip(want_nodes.tolist(), want_roots.tolist()))
     assert got == want
+
+
+def test_write_output_manifest(ray_session, tmp_path):
+    """Final-sink lineage: per-part rows/bytes/signature manifest, written
+    as _manifest.json so parquet discovery still reads the directory."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doppel_speller_ray.state.checkpoint import write_output_manifest
+
+    out = str(tmp_path / "out")
+    rd.from_arrow(pa.table({"a": list(range(100))})) \
+        .repartition(4).write_parquet(out)
+    m = write_output_manifest(out, extra={"stats": {"k": 1}})
+    assert m["total_rows"] == 100 and m["n_files"] >= 1
+    assert all(set(p) >= {"file", "rows", "bytes", "signature"}
+               for p in m["partitions"])
+    disk = json.load(open(f"{out}/_manifest.json"))
+    assert disk["stats"] == {"k": 1}
+    assert rd.read_parquet(out).count() == 100  # manifest not read as data
