@@ -189,16 +189,91 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-series correlation — aligned hourly activity similarity
+# ---------------------------------------------------------------------------
+
+def q_ts_corr_pairs(sf_dir: str):
+    """Cross-series similarity over aligned hourly activity (the
+    'time-series similarity search' shape from PAPERS.md reduced to its
+    distributed core: align sparse series on a shared grid, then compare
+    vectorized): per-event-type hourly count series, zero-filled on the
+    union-of-hours grid, pairwise Pearson correlation for type_a < type_b
+    (zero-variance series dropped — correlation is undefined there, and
+    both engines agree by construction).
+
+    Scale shape: ONE (event_type, hour) groupby-count — the only shuffle,
+    and its OUTPUT is K·H rows (series-count × grid length), bounded and
+    tiny relative to the event stream, so collecting it is the bounded-
+    small-result pattern (hot sets / CDF broadcasts), not a corpus
+    materialization. The K×K correlation is one vectorized np.corrcoef
+    over that K×H matrix; at K beyond driver scale the same math runs as
+    the knn_join broadcast-matmul pattern (series become rows of an
+    embedding table)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def hour(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "hour": pc.floor_temporal(t["ts"], unit="hour")})
+
+    counts = ev.map_batches(hour, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).count()
+    rows = counts.take_all()  # K·H bounded
+    types = sorted({r["event_type"] for r in rows})
+    hours = sorted({r["hour"] for r in rows})
+    ti = {t: i for i, t in enumerate(types)}
+    hi = {h: i for i, h in enumerate(hours)}
+    m = np.zeros((len(types), len(hours)), dtype=np.float64)
+    for r in rows:
+        m[ti[r["event_type"]], hi[r["hour"]]] = r["count()"]
+    keep = m.std(axis=1) > 0
+    c = np.corrcoef(m[keep]) if keep.sum() >= 2 else np.empty((0, 0))
+    kept = [t for t, k in zip(types, keep) if k]
+    ta, tb, cv = [], [], []
+    for i in range(len(kept)):
+        for j in range(i + 1, len(kept)):
+            ta.append(kept[i])
+            tb.append(kept[j])
+            cv.append(c[i, j])
+    out = pa.table({
+        "type_a": pa.array(ta, pa.string()),
+        "type_b": pa.array(tb, pa.string()),
+        "corr": pa.array(_round6_half_up(np.array(cv, np.float64)),
+                         pa.float64()),
+    })
+    import ray.data as rd
+
+    return rd.from_arrow(out)
+
+
+SQL_TS_CORR_PAIRS = """
+WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+           FROM events GROUP BY 1, 2),
+h AS (SELECT DISTINCT hour FROM c),
+t AS (SELECT DISTINCT event_type FROM c),
+f AS (SELECT t.event_type, h.hour, coalesce(c.n, 0) AS n
+      FROM t CROSS JOIN h
+      LEFT JOIN c ON c.event_type = t.event_type AND c.hour = h.hour)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       floor(corr(a.n, b.n) * 1000000 + 0.5) / 1000000 AS corr
+FROM f a JOIN f b ON a.hour = b.hour AND a.event_type < b.event_type
+GROUP BY 1, 2
+HAVING stddev_samp(a.n) > 0 AND stddev_samp(b.n) > 0
+"""
+
+
 WINDOW_QUERIES = {
     "events_debounce": q_events_debounce,
     "time_to_next_event": q_time_to_next_event,
     "percent_rank_length": q_percent_rank_length,
+    "ts_corr_pairs": q_ts_corr_pairs,
 }
 
 WINDOW_ORACLES = {
     "events_debounce": SQL_EVENTS_DEBOUNCE,
     "time_to_next_event": SQL_TIME_TO_NEXT_EVENT,
     "percent_rank_length": SQL_PERCENT_RANK_LENGTH,
+    "ts_corr_pairs": SQL_TS_CORR_PAIRS,
 }
 
 # Merge into the main catalog regardless of import order (the

@@ -92,3 +92,42 @@ def test_percent_rank_ties_and_singleton(ray_session, tmp_path):
     assert out.loc[2, "pr"] == pytest.approx(round(1 / 3, 6), abs=1e-9)
     assert out.loc[3, "pr"] == pytest.approx(1.0)
     assert out.loc[4, "pr"] == 0.0          # singleton group
+
+
+def test_ts_corr_pairs_hand_case(ray_session, tmp_path):
+    """Perfectly correlated, anti-correlated, and constant series: corr
+    +1 / -1 exactly; the constant series is dropped (undefined corr), and
+    a type absent in some hours is zero-filled before correlating."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from doppel_speller_ray.pipelines.queries_window import q_ts_corr_pairs
+
+    rows = []
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    hour = np.timedelta64(3600, "s")
+    # a: counts 1,2,3 ; b: 2,4,6 (corr +1); c: 3,2,1 (corr -1 with a)
+    # d: constant 1,1,1 (dropped); e: present only in hour 0 (zero-fill)
+    for h, (na, nb, nc) in enumerate([(1, 2, 3), (2, 4, 2), (3, 6, 1)]):
+        ts = base + h * hour
+        rows += [("a", ts)] * na + [("b", ts)] * nb + [("c", ts)] * nc
+        rows += [("d", ts)]
+    rows += [("e", base)] * 5
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([0] * len(rows), pa.int64()),
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    out = q_ts_corr_pairs(str(tmp_path)).to_pandas()
+    got = {(r.type_a, r.type_b): r.corr for r in out.itertuples()}
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert not any("d" in k for k in got)          # constant dropped
+    assert ("a", "e") in got                        # zero-filled, kept
+    # c falls 3,2,1 while e spikes 5,0,0: positive but < 1
+    assert 0 < got[("c", "e")] < 1
