@@ -112,6 +112,11 @@ class MatchConfig:
     top_k_train: int = 10                     # settings.py:55
     lev_threshold: int = 94                   # settings.py:75
     prediction_threshold: float = 0.9         # settings.py:76
+    # hybrid accept rule (no reference analogue; tools/sweep_golden.py's
+    # second sweep axis made runtime-reachable): a unique tier-3 argmax
+    # whose probability fails prediction_threshold is still accepted when
+    # its gated Levenshtein ratio ≥ this floor. 101 = off (pure-p rule).
+    lev_accept_floor: int = 101
     false_positive_penalty: int = 5           # settings.py:77
     not_found_value: int = -1                 # TRAIN_NOT_FOUND_VALUE (settings.py:33)
     seed: int = 42

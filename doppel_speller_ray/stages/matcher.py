@@ -235,11 +235,22 @@ class MatcherActor:
                                     extras=extras)
                 p = self.model.predict_proba(X)
                 best = int(np.argmax(p))
-                if (p[best] > self.cfg.prediction_threshold
-                        and (p == p[best]).sum() == 1):
+                unique = (p == p[best]).sum() == 1
+                accept = unique and p[best] > self.cfg.prediction_threshold
+                lev = None
+                if (unique and not accept
+                        and self.cfg.lev_accept_floor <= 100):
+                    # hybrid floor: a low-p argmax whose verified ratio
+                    # clears the floor is accepted anyway (identical to
+                    # sweep_golden's offline rule — the argmax and the
+                    # ambiguity drop precede both accept axes)
+                    lev = self._gated_ratio(norm, truths[best])
+                    accept = lev >= self.cfg.lev_accept_floor
+                if accept:
                     out_tid[i] = int(self.index.title_ids[mk[best]])
                     out_pred[i] = float(p[best])
-                    out_lev[i] = self._gated_ratio(norm, truths[best])
+                    out_lev[i] = (self._gated_ratio(norm, truths[best])
+                                  if lev is None else lev)
                     if len(p) > 1:
                         out_margin[i] = float(
                             p[best] - np.partition(p, -2)[-2])

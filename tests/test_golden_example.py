@@ -50,3 +50,38 @@ def test_golden_example_accuracy(ray_session):
     assert rep["correctly_not_found"] >= 3955, rep
     assert rep["incorrectly_not_found"] <= 215, rep
     assert rep["custom_error"] <= 420, rep  # reference published: 633
+
+
+@pytest.mark.slow
+def test_golden_ensemble_accuracy(ray_session):
+    """The 5-member seed-bagged ensemble (committed artifact + seeds
+    101/202/303/404, tools/train_member.py + tools/eval_ensemble.py) at its
+    swept high-recall point — prediction_threshold 0.08 + lev_accept_floor
+    94 + model_top_k 10 — reaches ≥5,900 correctly matched UNDER the
+    reference's published custom error (measured 5,910 correct / error 577
+    vs the reference's 5,929 / 633; full frontier in BASELINE.md round-4
+    fifth wave). The single-model artifact stays the default (tier-3
+    predict is ~5× per pair here); this pins the accuracy-tier option."""
+    ens_art = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                           "pair_model_ensemble5.pickle")
+    if not os.path.exists(ens_art):
+        pytest.skip("ensemble artifact not built (tools/eval_ensemble.py)")
+    from doppel_speller_ray.cli import _TEST_MAPPING, _TRUTH_MAPPING, _read_any
+    from doppel_speller_ray.config import MatchConfig
+    from doppel_speller_ray.pipelines.matching import accuracy_report, match_pipeline
+    from doppel_speller_ray.stages.pair_model import BoostedPairModel
+
+    cfg = MatchConfig(prediction_threshold=0.08, lev_accept_floor=94)
+    model = BoostedPairModel.load(ens_art)
+    truth = _read_any(f"{EX}/example_truth.csv.gz", _TRUTH_MAPPING, "|")
+    test = _read_any(f"{EX}/example_test.csv.gz", _TEST_MAPPING, "|")
+    actuals = _read_any(
+        f"{EX}/example_test_with_actuals.csv.gz",
+        [("test_index", ("test_index", int)), ("title_id", ("company_id", int))],
+        "|")
+    preds = match_pipeline(test, truth, cfg, model=model, model_top_k=10)
+    rep = accuracy_report(preds, actuals, cfg)
+
+    # measured: 5910 / 89 / 3921 / 132 → custom error 577 (ref: 5929/633)
+    assert rep["correctly_matched"] >= 5900, rep
+    assert rep["custom_error"] <= 600, rep

@@ -165,3 +165,50 @@ def test_match_pipeline_with_model_tier(ray_session):
     assert rep_model["correctly_matched"] > rep_base["correctly_matched"]
     assert rep_model["incorrectly_matched"] <= 3, (rep_base, rep_model)
     assert rep_model["custom_error"] < rep_base["custom_error"]
+
+
+def test_lev_accept_floor_hybrid_rule(ray_session):
+    """MatchConfig.lev_accept_floor: with an impossible probability bar
+    (threshold 1.0 rejects every tier-3 argmax) the floor alone must
+    recover candidates whose gated ratio lands in [floor, lev_threshold)
+    — exactly sweep_golden's offline second axis; floor 101 must behave
+    as the pure-p rule (tier 3 accepts nothing)."""
+    import ray.data as rd
+
+    from doppel_speller_ray.config import MatchConfig
+    from doppel_speller_ray.functions.misspell import misspell
+    from doppel_speller_ray.pipelines.matching import match_pipeline
+    from doppel_speller_ray.pipelines.training import train_verifier
+
+    truth, _, _ = make_titles(n_truth=150, n_test=10, seed=33)
+    names = truth["title"].to_pylist()
+    ids = truth["title_id"].to_pylist()
+    # 3-edit queries spread the gated ratio across [<85, 85-93, >=94]
+    # (measured 32/14/14 at these seeds): tier 2 takes >=94, the floor
+    # axis targets the [85, 94) band that the probability bar rejects
+    test = pa.Table.from_pylist(
+        [{"test_index": j, "title": misspell(names[j % len(names)],
+                                             99 + j, n_perturbations=3)}
+         for j in range(60)])
+
+    cfg_off = MatchConfig(top_k=20, concurrency=2, seed=33,
+                          prediction_threshold=1.0)
+    model, _ = train_verifier(rd.from_arrow(truth), cfg_off)
+
+    off = match_pipeline(rd.from_arrow(test), rd.from_arrow(truth),
+                         cfg_off, model=model).take_all()
+    assert not [r for r in off if r["tier"] == "model"], "p-bar leaked"
+
+    cfg_floor = MatchConfig(top_k=20, concurrency=2, seed=33,
+                            prediction_threshold=1.0, lev_accept_floor=85)
+    on = match_pipeline(rd.from_arrow(test), rd.from_arrow(truth),
+                        cfg_floor, model=model).take_all()
+    accepted = [r for r in on if r["tier"] == "model"]
+    assert accepted, "floor rule accepted nothing"
+    # every floor-accepted row reports the ratio that cleared the floor
+    # (no upper bound: the token-sort fallback inside the gated chain can
+    # exceed the tier-2 bar for word-permuted pairs tier 2 skipped)
+    assert all(r["lev_best"] >= 85 for r in accepted), accepted[:3]
+    # and the floor-accepted assignments are the planted ones
+    tid = {j: ids[j % len(ids)] for j in range(60)}
+    assert all(tid[r["test_index"]] == r["title_id"] for r in accepted)
