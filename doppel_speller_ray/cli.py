@@ -80,7 +80,10 @@ def cmd_generate_predictions(args) -> int:
         from .stages.pair_model import BoostedPairModel
 
         model = BoostedPairModel.load(args.model)
-    out = match_pipeline(test, truth, MatchConfig(), model=model)
+    cfg = MatchConfig(
+        prediction_threshold=args.prediction_threshold,
+        lev_accept_floor=args.lev_accept_floor)
+    out = match_pipeline(test, truth, cfg, model=model)
     # reference output contract: (title_id, test_index) sorted, −1 not found
     # (predict.py:256-272)
     if args.out.endswith(".csv"):
@@ -147,6 +150,14 @@ def main(argv=None) -> int:
     g.add_argument("--delimiter", default="|")
     g.add_argument("--model", default=None,
                    help="optional pickled tier-3 verifier (train-model output)")
+    # defaults mirror MatchConfig (imported lazily in the commands)
+    g.add_argument("--prediction-threshold", type=float, default=0.9,
+                   help="tier-3 accept bar on the verifier probability")
+    g.add_argument("--lev-accept-floor", type=int, default=101,
+                   help="hybrid accept: take a unique tier-3 argmax whose "
+                        "gated Levenshtein ratio clears this floor even "
+                        "when p fails the threshold (101 = off); the "
+                        "ensemble artifact's swept point is 0.08/94")
     g.set_defaults(fn=cmd_generate_predictions)
 
     c = sub.add_parser("closest-search-single-title", parents=[common])
