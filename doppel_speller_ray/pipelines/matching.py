@@ -51,7 +51,8 @@ def collect_truth_table(truth_ds, cfg: MatchConfig,
 def match_pipeline(test_ds, truth_ds, cfg: MatchConfig = MatchConfig(), *,
                    test_id_col: str = "test_index", test_text_col: str = "title",
                    truth_id_col: str = "title_id", truth_text_col: str = "title",
-                   model=None, model_top_k: int = 10):
+                   model=None, model_top_k: int = 10,
+                   emit_features: bool = False):
     """Returns Dataset (test_index, title_id, prediction, lev_best, p_margin, tier)
     sorted by test_index; title_id = −1 where no match (predict.py:256-272).
 
@@ -85,7 +86,8 @@ def match_pipeline(test_ds, truth_ds, cfg: MatchConfig = MatchConfig(), *,
         concurrency=(1, cfg.concurrency),
         fn_constructor_kwargs={"truth_ref": ref, "cfg": cfg,
                                "model_ref": model_ref,
-                               "model_top_k": model_top_k},
+                               "model_top_k": model_top_k,
+                               "emit_features": emit_features},
     )
     return matched.sort("test_index")
 

@@ -103,17 +103,20 @@ class TruthIndex:
             jac = np.where(denom > 0, scores / denom, 0.0)
         return jac, q_idf_sum
 
-    def topk_scored(self, qcodes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k candidate row indices (score-descending) AND their
-        modified-Jaccard scores — the scores feed the extended pair-model
-        features (functions/features.py)."""
-        jac, _ = self.score_all(qcodes)
+    def topk_scored(self, qcodes: np.ndarray, k: int
+                    ) -> tuple[np.ndarray, np.ndarray, float]:
+        """Top-k candidate row indices (score-descending), their
+        modified-Jaccard scores, and the query's total IDF mass — the
+        scores feed the extended pair-model features
+        (functions/features.py); the IDF mass feeds the abstainer's
+        decision features (query rarity)."""
+        jac, q_idf_sum = self.score_all(qcodes)
         if self.n_truth <= k:
             idx = np.argsort(jac)[::-1]
         else:
             part = np.argpartition(jac, -k)[-k:]
             idx = part[np.argsort(jac[part])[::-1]]
-        return idx, jac[idx]
+        return idx, jac[idx], q_idf_sum
 
     def topk(self, qcodes: np.ndarray, k: int) -> np.ndarray:
         return self.topk_scored(qcodes, k)[0]
@@ -127,12 +130,16 @@ class MatcherActor:
     """
 
     def __init__(self, truth_ref, cfg: MatchConfig, model_ref=None,
-                 model_top_k: int = 10):
+                 model_top_k: int = 10, emit_features: bool = False):
         import ray
 
         truth = ray.get(truth_ref)
         self.index = TruthIndex(truth)
         self.cfg = cfg
+        # emit_features: append per-query DECISION features to the output
+        # (abstainer training / offline accept-rule sweeps). Off by default
+        # so the compat output schema stays stable for oracles and callers.
+        self.emit_features = emit_features
         # tier-3 model verifier (predict.py:185-254): optional; scores the
         # model_top_k best Jaccard candidates of still-unmatched queries
         self.model = ray.get(model_ref) if model_ref is not None else None
@@ -188,10 +195,29 @@ class MatcherActor:
         # p(top1) − p(top2) — the ranker's own disambiguation confidence,
         # a third offline-sweepable axis (exact/lev tiers: 1.0)
         tiers: list[str] = []
+        if self.emit_features:
+            n = len(batch)
+            f_qchars = np.zeros(n, np.int32)     # normalized query length
+            f_qwords = np.zeros(n, np.int16)
+            f_t2best = np.zeros(n, np.int16)     # tier-2 best gated ratio
+            f_t2n = np.zeros(n, np.int16)        # ...and how many tied at it
+            f_ccount = np.zeros(n, np.int32)     # candidates with jaccard>0
+            f_cs_top = np.zeros(n, np.float32)   # best IDF-Jaccard score
+            f_cs_arg = np.zeros(n, np.float32)   # ...of the tier-3 argmax
+            f_cs_margin = np.zeros(n, np.float32)  # top1−top2 jaccard gap
+            f_qidf = np.zeros(n, np.float32)     # query total IDF mass
+            f_rank = np.full(n, -1, np.int16)    # argmax rank in jaccard order
+            f_p2 = np.zeros(n, np.float32)       # second-best model p
+            f_psum = np.zeros(n, np.float32)     # Σp over scored candidates
+            f_del = np.zeros(n, np.float32)      # deletion_ratio(query, argmax)
+            f_tsr = np.zeros(n, np.int16)        # token_sort_ratio(query, argmax)
 
         for i in range(len(batch)):
             out_idx[i] = idxcol[i]
             norm = norms[i]
+            if self.emit_features:
+                f_qchars[i] = len(norm)
+                f_qwords[i] = norm.count(" ") + 1 if norm else 0
             # tier 1: exact normalized-text hit (predict.py:97-113)
             tid = self.index.exact.get(norm)
             if tid is not None:
@@ -199,11 +225,13 @@ class MatcherActor:
                 out_pred[i] = 1.0
                 out_lev[i] = 100
                 out_margin[i] = 1.0
+                if self.emit_features:
+                    f_t2best[i], f_t2n[i] = 100, 1
                 tiers.append("exact")
                 continue
             # tier 2: IDF-Jaccard top-k + gated Levenshtein (predict.py:122-176)
             qcodes = flat[offsets[i]: offsets[i + 1]]
-            cand, cscores = self.index.topk_scored(qcodes, k)
+            cand, cscores, q_idf = self.index.topk_scored(qcodes, k)
             # grouped argmax + ambiguity drop: 2+ surviving rows at the max
             # ratio ⇒ not-found, even for equal titles (predict.py:158-176)
             best_ratio, best_tid, n_at_best = 0, nf, 0
@@ -214,6 +242,14 @@ class MatcherActor:
                 elif r == best_ratio and r > 0:
                     n_at_best += 1
             out_lev[i] = best_ratio
+            if self.emit_features:
+                f_t2best[i], f_t2n[i] = best_ratio, n_at_best
+                f_ccount[i] = int((cscores > 0).sum())
+                f_qidf[i] = q_idf
+                if len(cscores):
+                    f_cs_top[i] = cscores[0]
+                    if len(cscores) > 1:
+                        f_cs_margin[i] = cscores[0] - cscores[1]
             if best_ratio > self.cfg.lev_threshold and n_at_best == 1:
                 out_tid[i] = best_tid
                 out_pred[i] = 1.0
@@ -236,6 +272,14 @@ class MatcherActor:
                 p = self.model.predict_proba(X)
                 best = int(np.argmax(p))
                 unique = (p == p[best]).sum() == 1
+                if self.emit_features:
+                    f_cs_arg[i] = cscores[best]
+                    f_rank[i] = best
+                    f_psum[i] = float(p.sum())
+                    if len(p) > 1:
+                        f_p2[i] = float(np.partition(p, -2)[-2])
+                    f_del[i] = deletion_ratio(norm, truths[best])
+                    f_tsr[i] = token_sort_ratio(norm, truths[best])
                 accept = unique and p[best] > self.cfg.prediction_threshold
                 lev = None
                 if (unique and not accept
@@ -262,11 +306,29 @@ class MatcherActor:
             out_pred[i] = 0.0
             tiers.append("not_found")
 
-        return pa.table({
+        cols = {
             "test_index": pa.array(out_idx, pa.int64()),
             "title_id": pa.array(out_tid, pa.int64()),
             "prediction": pa.array(out_pred, pa.float32()),
             "lev_best": pa.array(out_lev, pa.int16()),
             "p_margin": pa.array(out_margin, pa.float32()),
             "tier": pa.array(tiers, pa.string()),
-        })
+        }
+        if self.emit_features:
+            cols.update({
+                "q_chars": pa.array(f_qchars, pa.int32()),
+                "q_words": pa.array(f_qwords, pa.int16()),
+                "tier2_best": pa.array(f_t2best, pa.int16()),
+                "tier2_nbest": pa.array(f_t2n, pa.int16()),
+                "cand_count": pa.array(f_ccount, pa.int32()),
+                "cscore_top": pa.array(f_cs_top, pa.float32()),
+                "cscore_arg": pa.array(f_cs_arg, pa.float32()),
+                "cscore_margin": pa.array(f_cs_margin, pa.float32()),
+                "q_idf": pa.array(f_qidf, pa.float32()),
+                "arg_rank": pa.array(f_rank, pa.int16()),
+                "p_second": pa.array(f_p2, pa.float32()),
+                "p_sum": pa.array(f_psum, pa.float32()),
+                "del_arg": pa.array(f_del, pa.float32()),
+                "tsr_arg": pa.array(f_tsr, pa.int16()),
+            })
+        return pa.table(cols)

@@ -212,3 +212,56 @@ def test_lev_accept_floor_hybrid_rule(ray_session):
     # and the floor-accepted assignments are the planted ones
     tid = {j: ids[j % len(ids)] for j in range(60)}
     assert all(tid[r["test_index"]] == r["title_id"] for r in accepted)
+
+
+def test_emit_features_schema_and_values(ray_session):
+    """emit_features=True appends the 14 decision-feature columns (abstainer
+    training surface) without touching the default schema; model-tier rows
+    carry the tier-3 argmax's jaccard/lev/rank stats, exact rows carry the
+    tier sentinels."""
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.matching import match_pipeline
+    from doppel_speller_ray.pipelines.training import train_verifier
+
+    truth, _, _ = make_titles(n_truth=120, n_test=10, seed=11)
+    names = truth["title"].to_pylist()
+    from doppel_speller_ray.functions.misspell import misspell
+    test = pa.Table.from_pylist(
+        [{"test_index": 0, "title": names[0]}]          # exact tier
+        + [{"test_index": j, "title": misspell(names[j % len(names)],
+                                               7 + j, n_perturbations=3)}
+           for j in range(1, 30)])
+
+    cfg = MatchConfig(top_k=20, concurrency=2, seed=11,
+                      prediction_threshold=0.0)
+    model, _ = train_verifier(rd.from_arrow(truth), cfg)
+
+    base = match_pipeline(rd.from_arrow(test), rd.from_arrow(truth),
+                          cfg, model=model).take_all()
+    assert sorted(base[0].keys()) == [
+        "lev_best", "p_margin", "prediction", "test_index", "tier",
+        "title_id"]
+
+    rows = match_pipeline(rd.from_arrow(test), rd.from_arrow(truth),
+                          cfg, model=model, emit_features=True).take_all()
+    feat_cols = {"q_chars", "q_words", "tier2_best", "tier2_nbest",
+                 "cand_count", "cscore_top", "cscore_arg", "cscore_margin",
+                 "q_idf", "arg_rank", "p_second", "p_sum", "del_arg",
+                 "tsr_arg"}
+    assert feat_cols <= set(rows[0].keys())
+    # identical decisions with and without the feature columns
+    assert [(r["test_index"], r["title_id"], r["tier"]) for r in rows] == \
+           [(r["test_index"], r["title_id"], r["tier"]) for r in base]
+    by_tier = {}
+    for r in rows:
+        by_tier.setdefault(r["tier"], []).append(r)
+    ex = by_tier["exact"][0]
+    assert (ex["tier2_best"], ex["tier2_nbest"], ex["arg_rank"]) == (100, 1, -1)
+    assert ex["q_chars"] == len(transform_text(names[0]))
+    for r in by_tier.get("model", []):
+        assert r["cand_count"] >= 1
+        assert 0 <= r["arg_rank"] < 20
+        assert r["cscore_top"] >= r["cscore_arg"] >= 0
+        assert r["q_idf"] > 0
+        assert 0 <= r["del_arg"] <= 100 and 0 <= r["tsr_arg"] <= 100
