@@ -80,10 +80,16 @@ def cmd_generate_predictions(args) -> int:
         from .stages.pair_model import BoostedPairModel
 
         model = BoostedPairModel.load(args.model)
+    abstainer = None
+    if getattr(args, "abstainer", None):
+        import pickle
+
+        with open(args.abstainer, "rb") as f:
+            abstainer = pickle.load(f)
     cfg = MatchConfig(
         prediction_threshold=args.prediction_threshold,
         lev_accept_floor=args.lev_accept_floor)
-    out = match_pipeline(test, truth, cfg, model=model)
+    out = match_pipeline(test, truth, cfg, model=model, abstainer=abstainer)
     # reference output contract: (title_id, test_index) sorted, −1 not found
     # (predict.py:256-272)
     if args.out.endswith(".csv"):
@@ -158,6 +164,12 @@ def main(argv=None) -> int:
                         "gated Levenshtein ratio clears this floor even "
                         "when p fails the threshold (101 = off); the "
                         "ensemble artifact's swept point is 0.08/94")
+    g.add_argument("--abstainer", default=None,
+                   help="optional learned-abstainer artifact "
+                        "(tools/train_abstainer.py); REPLACES the two "
+                        "threshold axes with q(decision features) >= q_min "
+                        "— with the ensemble pair model this dominates the "
+                        "reference's published golden point")
     g.set_defaults(fn=cmd_generate_predictions)
 
     c = sub.add_parser("closest-search-single-title", parents=[common])

@@ -52,7 +52,7 @@ def match_pipeline(test_ds, truth_ds, cfg: MatchConfig = MatchConfig(), *,
                    test_id_col: str = "test_index", test_text_col: str = "title",
                    truth_id_col: str = "title_id", truth_text_col: str = "title",
                    model=None, model_top_k: int = 10,
-                   emit_features: bool = False):
+                   emit_features: bool = False, abstainer=None):
     """Returns Dataset (test_index, title_id, prediction, lev_best, p_margin, tier)
     sorted by test_index; title_id = −1 where no match (predict.py:256-272).
 
@@ -66,6 +66,9 @@ def match_pipeline(test_ds, truth_ds, cfg: MatchConfig = MatchConfig(), *,
     truth_table = collect_truth_table(truth_ds, cfg, truth_id_col, truth_text_col)
     ref = ray.put(truth_table)
     model_ref = ray.put(model) if model is not None else None
+    # learned abstainer (tools/train_abstainer.py artifact dict): broadcast
+    # once like the pair model; replaces the tier-3 threshold axes
+    ab_ref = ray.put(abstainer) if abstainer is not None else None
 
     queries = _prepare(test_ds, cfg, test_id_col, test_text_col,
                        min_blocks=cfg.concurrency * 8)
@@ -87,7 +90,8 @@ def match_pipeline(test_ds, truth_ds, cfg: MatchConfig = MatchConfig(), *,
         fn_constructor_kwargs={"truth_ref": ref, "cfg": cfg,
                                "model_ref": model_ref,
                                "model_top_k": model_top_k,
-                               "emit_features": emit_features},
+                               "emit_features": emit_features,
+                               "abstainer_ref": ab_ref},
     )
     return matched.sort("test_index")
 

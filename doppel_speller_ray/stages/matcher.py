@@ -130,7 +130,8 @@ class MatcherActor:
     """
 
     def __init__(self, truth_ref, cfg: MatchConfig, model_ref=None,
-                 model_top_k: int = 10, emit_features: bool = False):
+                 model_top_k: int = 10, emit_features: bool = False,
+                 abstainer_ref=None):
         import ray
 
         truth = ray.get(truth_ref)
@@ -140,6 +141,13 @@ class MatcherActor:
         # (abstainer training / offline accept-rule sweeps). Off by default
         # so the compat output schema stays stable for oracles and callers.
         self.emit_features = emit_features
+        # learned abstainer (tools/train_abstainer.py artifact: dict with
+        # "model" (predict_proba over the decision-feature vector) and
+        # "q_min"): when present it REPLACES the tier-3 accept axes
+        # (prediction_threshold / lev_accept_floor) with the rule
+        # q = P(argmax correct | decision features) >= q_min. The argmax
+        # and the ambiguity drop still precede it.
+        self.ab = ray.get(abstainer_ref) if abstainer_ref is not None else None
         # tier-3 model verifier (predict.py:185-254): optional; scores the
         # model_top_k best Jaccard candidates of still-unmatched queries
         self.model = ray.get(model_ref) if model_ref is not None else None
@@ -211,6 +219,11 @@ class MatcherActor:
             f_psum = np.zeros(n, np.float32)     # Σp over scored candidates
             f_del = np.zeros(n, np.float32)      # deletion_ratio(query, argmax)
             f_tsr = np.zeros(n, np.int16)        # token_sort_ratio(query, argmax)
+        # abstainer mode: collect decision-feature vectors in the loop,
+        # batch-predict ONCE per Arrow batch after it (167-tree GBDT eval
+        # per single row would dominate the loop otherwise)
+        ab_idx: list[int] = []
+        ab_X: list[list[float]] = []
 
         for i in range(len(batch)):
             out_idx[i] = idxcol[i]
@@ -272,14 +285,52 @@ class MatcherActor:
                 p = self.model.predict_proba(X)
                 best = int(np.argmax(p))
                 unique = (p == p[best]).sum() == 1
+                need_feats = self.emit_features or (
+                    self.ab is not None and unique)
+                if need_feats:
+                    p2v = (float(np.partition(p, -2)[-2])
+                           if len(p) > 1 else 0.0)
+                    psumv = float(p.sum())
+                    delv = float(deletion_ratio(norm, truths[best]))
+                    tsrv = int(token_sort_ratio(norm, truths[best]))
                 if self.emit_features:
                     f_cs_arg[i] = cscores[best]
                     f_rank[i] = best
-                    f_psum[i] = float(p.sum())
-                    if len(p) > 1:
-                        f_p2[i] = float(np.partition(p, -2)[-2])
-                    f_del[i] = deletion_ratio(norm, truths[best])
-                    f_tsr[i] = token_sort_ratio(norm, truths[best])
+                    f_psum[i] = psumv
+                    f_p2[i] = p2v
+                    f_del[i] = delv
+                    f_tsr[i] = tsrv
+                if self.ab is not None:
+                    if unique:
+                        lev_arg = self._gated_ratio(norm, truths[best])
+                        margin = float(p[best]) - p2v
+                        ab_idx.append(i)
+                        # EXACT order of tools/train_abstainer.FEATURES;
+                        # the float32 cast before predict reproduces the
+                        # emitted-column quantization the abstainer
+                        # trained on
+                        ab_X.append([
+                            float(p[best]), margin, p2v, psumv, lev_arg,
+                            best_ratio, n_at_best,
+                            int((cscores > 0).sum()),
+                            float(cscores[0]) if len(cscores) else 0.0,
+                            float(cscores[best]),
+                            (float(cscores[0] - cscores[1])
+                             if len(cscores) > 1 else 0.0),
+                            q_idf, best, delv, tsrv,
+                            len(norm), norm.count(" ") + 1 if norm else 0,
+                        ])
+                        # tentative accept; flipped post-loop if q < q_min
+                        out_tid[i] = int(self.index.title_ids[mk[best]])
+                        out_pred[i] = float(p[best])
+                        out_lev[i] = lev_arg
+                        out_margin[i] = margin
+                        tiers.append("model")
+                        continue
+                    out_tid[i] = nf
+                    out_pred[i] = 0.0
+                    tiers.append("not_found")
+                    continue
                 accept = unique and p[best] > self.cfg.prediction_threshold
                 lev = None
                 if (unique and not accept
@@ -305,6 +356,20 @@ class MatcherActor:
             out_tid[i] = nf
             out_pred[i] = 0.0
             tiers.append("not_found")
+
+        if self.ab is not None and ab_idx:
+            q = self.ab["model"].predict_proba(
+                np.asarray(ab_X, dtype=np.float32))
+            q_min = float(self.ab["q_min"])
+            for j, i in enumerate(ab_idx):
+                if q[j] < q_min:
+                    out_tid[i] = nf
+                    out_pred[i] = 0.0
+                    # restore the tier-2 best ratio the default
+                    # not_found path reports (feature slot 5)
+                    out_lev[i] = int(ab_X[j][5])
+                    out_margin[i] = 0.0
+                    tiers[i] = "not_found"
 
         cols = {
             "test_index": pa.array(out_idx, pa.int64()),

@@ -265,3 +265,60 @@ def test_emit_features_schema_and_values(ray_session):
         assert r["cscore_top"] >= r["cscore_arg"] >= 0
         assert r["q_idf"] > 0
         assert 0 <= r["del_arg"] <= 100 and 0 <= r["tsr_arg"] <= 100
+
+
+def _const_q(logit: float):
+    """Constant-q abstainer stub: a LogisticPairModel with zero weights and
+    a fixed intercept (picklable by module reference, unlike a test-local
+    class, so Ray workers can deserialize it)."""
+    from doppel_speller_ray.stages.pair_model import LogisticPairModel
+
+    m = LogisticPairModel()
+    m.w = np.zeros(17)
+    m.b = logit
+    m.mu = np.zeros(17)
+    m.sigma = np.ones(17)
+    return m
+
+
+def test_runtime_abstainer_replaces_threshold_axes(ray_session):
+    """abstainer={model, q_min}: q >= q_min accepts exactly the rows the
+    threshold-0 rule accepts (the argmax + ambiguity drop are unchanged);
+    q < q_min abstains every tier-3 row to not_found."""
+    import ray.data as rd
+
+    from doppel_speller_ray.functions.misspell import misspell
+    from doppel_speller_ray.pipelines.matching import match_pipeline
+    from doppel_speller_ray.pipelines.training import train_verifier
+
+    truth, _, _ = make_titles(n_truth=120, n_test=10, seed=21)
+    names = truth["title"].to_pylist()
+    test = pa.Table.from_pylist(
+        [{"test_index": j, "title": misspell(names[j % len(names)],
+                                             50 + j, n_perturbations=3)}
+         for j in range(40)])
+    cfg = MatchConfig(top_k=20, concurrency=2, seed=21,
+                      prediction_threshold=0.0)
+    model, _ = train_verifier(rd.from_arrow(truth), cfg)
+
+    base = match_pipeline(rd.from_arrow(test), rd.from_arrow(truth),
+                          cfg, model=model).take_all()
+    acc_all = match_pipeline(
+        rd.from_arrow(test), rd.from_arrow(truth), cfg, model=model,
+        abstainer={"model": _const_q(50.0), "q_min": 0.5}).take_all()
+    none = match_pipeline(
+        rd.from_arrow(test), rd.from_arrow(truth), cfg, model=model,
+        abstainer={"model": _const_q(-50.0), "q_min": 0.5}).take_all()
+
+    assert [(r["test_index"], r["title_id"], r["tier"]) for r in acc_all] \
+        == [(r["test_index"], r["title_id"], r["tier"]) for r in base]
+    assert any(r["tier"] == "model" for r in base)
+    for r in none:
+        assert r["tier"] != "model"
+        if r["tier"] == "not_found":
+            assert r["title_id"] == cfg.not_found_value
+    # exact/lev tiers are untouched by the abstainer
+    kept = {(r["test_index"], r["tier"]) for r in base
+            if r["tier"] in ("exact", "lev")}
+    assert {(r["test_index"], r["tier"]) for r in none
+            if r["tier"] in ("exact", "lev")} == kept
