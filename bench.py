@@ -142,8 +142,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "multimodal_image_stats", "multimodal_audio_stats",
         "table_profile", "sample_per_group", "knn_join", "value_quantiles",
         "bpe_train", "logreg_train",
-        "decontaminate", "domain_stats", "bloom_delta", "lsh_join",
-        "events_sliding", "shuffle_rank", "split_assign",
+        "decontaminate", "contam_spans", "domain_stats", "bloom_delta",
+        "lsh_join", "events_sliding", "shuffle_rank", "split_assign",
         "incremental_clusters", "ts_corr_pairs"))
     secondary["simhash"] = Q.q_simhash_values
     secondary["fingerprint"] = Q.q_fingerprint_values

@@ -238,6 +238,133 @@ FROM aug a LEFT JOIN hit ON a.doc_id = hit.doc_id
 """
 
 
+def q_contam_spans(sf_dir: str, n: int = DECONTAMINATE_NGRAM):
+    """Span-level decontamination: the WORD-POSITION islands of benchmark
+    n-gram hits inside each corpus doc — the masking complement of
+    :func:`q_decontaminate` (drop the span, keep the doc; the doc-level
+    flag wastes a whole document over one leaked sentence). Same
+    benchmark split / planting / gram-hash chain as q_decontaminate, so
+    the two operators agree on WHAT is contaminated.
+
+    Shape is identical to the doc-level op and just as scale-safe: the
+    benchmark gram set broadcasts once, the corpus streams through one
+    stateless map_batches, and because a document is one Arrow row its
+    whole gram stream sits in one batch — hit positions, island grouping
+    (gap > n breaks a span) and the span fold are all vectorized
+    in-batch; NOTHING shuffles. Output: one row per maximal span
+    (doc_id, span_start, span_end 1-based inclusive word indices,
+    n_grams = hits folded into the span)."""
+    import ray
+
+    from ..functions.shingles import word_ngram_hashes
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = _mod_filter(docs, 20, (0,))
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        _, g = word_ngram_hashes(t["text"], n, seed=0)
+        return pa.table({"gram": pa.array(np.unique(g).view(np.int64),
+                                          pa.int64())})
+
+    gram_rows = bench.map_batches(bench_grams, batch_format="pyarrow") \
+        .take_all()  # bounded: benchmark-sized, not corpus-sized
+    bench_set = np.unique(np.array([r["gram"] for r in gram_rows], np.int64))
+    snip_rows = bench.take_all()  # benchmark-sized
+    snippets = {int(r["doc_id"]): " ".join(str(r["text"] or "").split()[:5])
+                for r in snip_rows}
+    set_ref = ray.put(bench_set)
+    snip_ref = ray.put(snippets)
+
+    def spans(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "span_start": pa.array([], pa.int64()),
+                          "span_end": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64())})
+        bset = ray.get(set_ref)
+        snips = ray.get(snip_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(t["text"], "").to_pylist()
+        aug = [txt + " " + snips[k]
+               if i % 10 == 3 and (k := int(i) - int(i) % 20) in snips
+               else txt
+               for i, txt in zip(ids, texts)]
+        idx, g = word_ngram_hashes(pa.array(aug, pa.string()), n, seed=0)
+        if not len(g) or not len(bset):
+            return empty
+        gi = g.view(np.int64)
+        pos_in_filtered = np.arange(len(idx), dtype=np.int64)
+        change = np.concatenate([[True], idx[1:] != idx[:-1]])
+        seg_start = pos_in_filtered[change]
+        # 1-based gram start word index within its doc (SQL range(1, ...))
+        pos = pos_in_filtered - seg_start[np.cumsum(change) - 1] + 1
+        lookup = np.minimum(np.searchsorted(bset, gi), len(bset) - 1)
+        hit = bset[lookup] == gi
+        if not hit.any():
+            return empty
+        hid, hpos = idx[hit], pos[hit]  # already (doc, pos)-sorted
+        # islands: a gap of more than n gram-starts means the two
+        # n-word windows neither overlap nor touch
+        brk = np.concatenate([[True], (hid[1:] != hid[:-1])
+                              | (hpos[1:] - hpos[:-1] > n)])
+        gid = np.cumsum(brk) - 1
+        starts = np.where(brk)[0]
+        counts = np.diff(np.concatenate([starts, [len(gid)]]))
+        did = t["doc_id"].to_numpy(zero_copy_only=False)[hid[starts]]
+        return pa.table({
+            "doc_id": pa.array(did.astype(np.int64), pa.int64()),
+            "span_start": pa.array(hpos[starts], pa.int64()),
+            "span_end": pa.array(
+                hpos[starts + counts - 1] + n - 1, pa.int64()),
+            "n_grams": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    return _mod_filter(docs, 20, (0,), negate=True).map_batches(
+        spans, batch_format="pyarrow")
+
+
+# same aug/bg/ag construction as SQL_DECONTAMINATE, then gaps-and-islands
+# over DISTINCT hit positions: a new island starts when the gap between
+# consecutive gram-start positions exceeds n (windows disjoint and not
+# adjacent). DuckDB zips the parallel unnests of pos and gram.
+SQL_CONTAM_SPANS = f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+aug AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 3 AND b.text IS NOT NULL THEN d.text || ' ' ||
+              array_to_string(string_split_regex(trim(b.text), '\\s+')[1:5], ' ')
+              ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN bench b ON b.doc_id = d.doc_id - (d.doc_id % 20)
+  WHERE d.doc_id % 20 <> 0),
+bw AS (SELECT string_split_regex(trim(text), '\\s+') AS w
+       FROM bench WHERE trim(text) <> ''),
+bg AS (SELECT DISTINCT
+         unnest(list_transform(range(1, greatest(len(w) - {DECONTAMINATE_NGRAM - 2}, 1)),
+                               i -> array_to_string(w[i:i+{DECONTAMINATE_NGRAM - 1}], ' '))) AS gram
+       FROM bw),
+aw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       FROM aug WHERE trim(text) <> ''),
+ag AS (SELECT doc_id,
+         unnest(range(1, greatest(len(w) - {DECONTAMINATE_NGRAM - 2}, 1))) AS pos,
+         unnest(list_transform(range(1, greatest(len(w) - {DECONTAMINATE_NGRAM - 2}, 1)),
+                               i -> array_to_string(w[i:i+{DECONTAMINATE_NGRAM - 1}], ' '))) AS gram
+       FROM aw),
+hitpos AS (SELECT DISTINCT doc_id, pos FROM ag JOIN bg USING (gram)),
+isl AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  <= {DECONTAMINATE_NGRAM} THEN 0 ELSE 1 END AS brk
+        FROM hitpos),
+grp AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS gid
+        FROM isl)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {DECONTAMINATE_NGRAM - 1} AS span_end,
+       count(*) AS n_grams
+FROM grp GROUP BY doc_id, gid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Line-level dedup — CCNet/RefinedWeb duplicated-line removal, cleaned text
 # ---------------------------------------------------------------------------
@@ -1378,6 +1505,7 @@ CORPUS_QUERIES = {
     "char_entropy": q_char_entropy,
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
+    "contam_spans": q_contam_spans,
     "line_dedup": q_line_dedup,
     "pack_sequences": q_pack_sequences,
     "domain_stats": q_domain_stats,
@@ -1398,6 +1526,7 @@ CORPUS_ORACLES = {
     "char_entropy": SQL_CHAR_ENTROPY,
     "pii_redact": _sql_pii_redact(),
     "decontaminate": SQL_DECONTAMINATE,
+    "contam_spans": SQL_CONTAM_SPANS,
     "line_dedup": SQL_LINE_DEDUP,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "domain_stats": _sql_domain_stats(),

@@ -314,3 +314,41 @@ def test_split_assign_stable_under_corpus_growth(ray_session, tmp_path):
     frac_valid = sum(1 for v in b.values() if v == "valid") / len(b)
     assert abs(frac_train - QC.SPLIT_TRAIN) < 0.03
     assert abs(frac_valid - QC.SPLIT_VALID) < 0.02
+
+
+def test_contam_spans_hand(ray_session, mini_docs):
+    """Span-level decontamination islands: single hit, appended-snippet
+    hit, two overlapping hits merged, far-apart hits split (gap > n), and
+    the touching-windows boundary (gap == n) merged."""
+    from doppel_speller_ray.pipelines.queries_corpus import (
+        SQL_CONTAM_SPANS, q_contam_spans)
+
+    sf = mini_docs([
+        (0, "alpha beta gamma delta epsilon zeta eta"),        # benchmark
+        (1, "one two three four five six seven"),              # clean
+        (2, "x alpha beta gamma delta epsilon y z"),           # hit @2
+        (3, "hello worlds apart entirely disjoint"),           # snippet @6
+        (4, "alpha beta gamma delta epsilon zeta q r"),        # hits @1,2
+        (6, "alpha beta gamma delta epsilon f1 f2 f3 f4 f5 f6 "
+            "alpha beta gamma delta epsilon"),                 # @1 and @12
+        (8, "alpha beta gamma delta epsilon alpha beta gamma delta "
+            "epsilon x"),                                      # @1 and @6
+    ])
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+                 for r in q_contam_spans(sf).take_all())
+    want = [
+        (2, 2, 6, 1),    # one bench 5-gram at word 2
+        (3, 6, 10, 1),   # planted snippet appended after 5 words
+        (4, 1, 6, 2),    # grams @1 and @2 overlap → one span
+        (6, 1, 5, 1), (6, 12, 16, 1),   # gap 11 > 5 → two islands
+        (8, 1, 10, 2),   # gap exactly n → windows touch → merged
+    ]
+    assert got == want, got
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    oracle = sorted(map(tuple, con.execute(SQL_CONTAM_SPANS).fetchall()))
+    assert oracle == want, oracle
