@@ -107,53 +107,65 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/abstainer_sweep.json")
     ap.add_argument("--save-rows", default=None,
                     help="dump raw train/test feature rows for offline reuse")
+    ap.add_argument("--rows", default=None,
+                    help="reuse a --save-rows dump: refit + sweep with NO "
+                         "Ray runs (feature/label data is fully cached)")
     args = ap.parse_args()
 
     sys.path.insert(0, ROOT)
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-
-    from doppel_speller_ray.cli import _TRUTH_MAPPING, _read_any
     from doppel_speller_ray.config import MatchConfig
     from doppel_speller_ray.stages.pair_model import (
         BoostedPairModel, EnsemblePairModel, LogisticPairModel)
 
-    model = EnsemblePairModel.load(args.model)
-    truth = _read_any(f"{EX}/example_truth.csv.gz", _TRUTH_MAPPING, "|")
     cfg = MatchConfig(prediction_threshold=0.0)
     nf = cfg.not_found_value
 
-    # --- labeled runs: train split (fit) + golden test (evaluate) --------
-    t0 = time.perf_counter()
-    train_rows = run_match("example_train.csv.gz", "train_index", truth,
-                           cfg, model, args.num_cpus, args.topk)
-    t_train = time.perf_counter() - t0
-    train_act = {r["test_index"]: r["title_id"] for r in _read_any(
-        f"{EX}/example_train.csv.gz",
-        [("test_index", ("train_index", int)),
-         ("title_id", ("company_id", int))], "|").take_all()}
+    if args.rows:
+        with open(args.rows) as f:
+            cached = json.load(f)
+        train_rows, test_rows = cached["train"], cached["test"]
+        train_act = {int(k): v for k, v in cached["train_act"].items()}
+        test_act = {int(k): v for k, v in cached["test_act"].items()}
+    else:
+        import ray
 
-    t0 = time.perf_counter()
-    test_rows = run_match("example_test.csv.gz", "test_index", truth,
-                          cfg, model, args.num_cpus, args.topk)
-    t_test = time.perf_counter() - t0
-    test_act = {r["test_index"]: r["title_id"] for r in _read_any(
-        f"{EX}/example_test_with_actuals.csv.gz",
-        [("test_index", ("test_index", int)),
-         ("title_id", ("company_id", int))], "|").take_all()}
-    print(f"match runs: train {t_train:.0f}s test {t_test:.0f}s",
-          file=sys.stderr)
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
 
-    if args.save_rows:
-        with open(args.save_rows, "w") as f:
-            json.dump({"train": train_rows, "test": test_rows,
-                       "train_act": train_act, "test_act": test_act}, f)
+        DataContext.get_current().enable_progress_bars = False
+
+        from doppel_speller_ray.cli import _TRUTH_MAPPING, _read_any
+
+        model = EnsemblePairModel.load(args.model)
+        truth = _read_any(f"{EX}/example_truth.csv.gz", _TRUTH_MAPPING, "|")
+
+        # --- labeled runs: train split (fit) + golden test (evaluate) ----
+        t0 = time.perf_counter()
+        train_rows = run_match("example_train.csv.gz", "train_index", truth,
+                               cfg, model, args.num_cpus, args.topk)
+        t_train = time.perf_counter() - t0
+        train_act = {r["test_index"]: r["title_id"] for r in _read_any(
+            f"{EX}/example_train.csv.gz",
+            [("test_index", ("train_index", int)),
+             ("title_id", ("company_id", int))], "|").take_all()}
+
+        t0 = time.perf_counter()
+        test_rows = run_match("example_test.csv.gz", "test_index", truth,
+                              cfg, model, args.num_cpus, args.topk)
+        t_test = time.perf_counter() - t0
+        test_act = {r["test_index"]: r["title_id"] for r in _read_any(
+            f"{EX}/example_test_with_actuals.csv.gz",
+            [("test_index", ("test_index", int)),
+             ("title_id", ("company_id", int))], "|").take_all()}
+        print(f"match runs: train {t_train:.0f}s test {t_test:.0f}s",
+              file=sys.stderr)
+
+        if args.save_rows:
+            with open(args.save_rows, "w") as f:
+                json.dump({"train": train_rows, "test": test_rows,
+                           "train_act": train_act, "test_act": test_act}, f)
 
     # --- abstainer training set: model-tier rows of the train split ------
     tr = [r for r in train_rows if r["tier"] == "model"]
@@ -203,7 +215,10 @@ def main() -> None:
         json.dump({"sweep": results, "dominating": dom, "best": best,
                    "n_train_model_rows": len(tr),
                    "train_correct_argmax": int(y.sum())}, f, indent=1)
-    ray.shutdown()
+    if not args.rows:
+        import ray
+
+        ray.shutdown()
 
 
 if __name__ == "__main__":
