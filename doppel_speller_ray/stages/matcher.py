@@ -31,6 +31,17 @@ from ..config import MatchConfig
 from ..functions.lev import deletion_ratio, lev_ratio, token_sort_ratio
 
 
+# decision-feature order shared by emit_features columns, the abstainer
+# training tool (tools/train_abstainer.FEATURES imports this) and the
+# hardcoded vector built in MatcherActor.__call__
+_ABSTAINER_FEATURES = [
+    "prediction", "p_margin", "p_second", "p_sum", "lev_best",
+    "tier2_best", "tier2_nbest", "cand_count", "cscore_top", "cscore_arg",
+    "cscore_margin", "q_idf", "arg_rank", "del_arg", "tsr_arg",
+    "q_chars", "q_words",
+]
+
+
 def _gather_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Vectorized concatenation of ranges [starts[i], starts[i]+lens[i])."""
     total = int(lens.sum())
@@ -148,6 +159,15 @@ class MatcherActor:
         # q = P(argmax correct | decision features) >= q_min. The argmax
         # and the ambiguity drop still precede it.
         self.ab = ray.get(abstainer_ref) if abstainer_ref is not None else None
+        if self.ab is not None and self.ab.get("features") is not None:
+            # the vector built in __call__ hardcodes this order; an artifact
+            # trained on a different feature list must fail loudly, not
+            # silently mis-map columns
+            if list(self.ab["features"]) != _ABSTAINER_FEATURES:
+                raise ValueError(
+                    "abstainer artifact feature order "
+                    f"{list(self.ab['features'])} != matcher order "
+                    f"{_ABSTAINER_FEATURES}")
         # tier-3 model verifier (predict.py:185-254): optional; scores the
         # model_top_k best Jaccard candidates of still-unmatched queries
         self.model = ray.get(model_ref) if model_ref is not None else None

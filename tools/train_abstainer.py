@@ -39,12 +39,10 @@ EX = "/root/reference/example_dataset"
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENSEMBLE = os.path.join(ROOT, "artifacts", "pair_model_ensemble5.pickle")
 
-FEATURES = [
-    "prediction", "p_margin", "p_second", "p_sum", "lev_best",
-    "tier2_best", "tier2_nbest", "cand_count", "cscore_top", "cscore_arg",
-    "cscore_margin", "q_idf", "arg_rank", "del_arg", "tsr_arg",
-    "q_chars", "q_words",
-]
+# single source of truth lives next to the matcher's hardcoded vector
+sys.path.insert(0, ROOT)
+from doppel_speller_ray.stages.matcher import (  # noqa: E402
+    _ABSTAINER_FEATURES as FEATURES)
 
 
 def feature_matrix(rows: list[dict]) -> np.ndarray:
