@@ -82,10 +82,21 @@ def cmd_generate_predictions(args) -> int:
         model = BoostedPairModel.load(args.model)
     abstainer = None
     if getattr(args, "abstainer", None):
+        import os
         import pickle
 
+        if model is None:
+            raise SystemExit("--abstainer requires --model: tier 3 never "
+                             "runs without a pair verifier, so the "
+                             "abstainer would silently influence nothing")
         with open(args.abstainer, "rb") as f:
             abstainer = pickle.load(f)
+        expect = abstainer.get("pair_model")
+        if expect and os.path.basename(args.model) != expect:
+            raise SystemExit(
+                f"--abstainer artifact was trained against '{expect}' but "
+                f"--model is '{os.path.basename(args.model)}'; q is "
+                "calibrated to that verifier's probability distribution")
     cfg = MatchConfig(
         prediction_threshold=args.prediction_threshold,
         lev_accept_floor=args.lev_accept_floor)

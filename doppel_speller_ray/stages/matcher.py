@@ -168,6 +168,13 @@ class MatcherActor:
                     "abstainer artifact feature order "
                     f"{list(self.ab['features'])} != matcher order "
                     f"{_ABSTAINER_FEATURES}")
+        if self.ab is not None and self.ab.get("model_top_k") is not None:
+            # q was calibrated on a specific candidate-list depth; a
+            # different depth shifts p_sum / arg_rank / p_second silently
+            if int(self.ab["model_top_k"]) != int(model_top_k):
+                raise ValueError(
+                    f"abstainer artifact was trained at model_top_k="
+                    f"{self.ab['model_top_k']}, matcher runs {model_top_k}")
         # tier-3 model verifier (predict.py:185-254): optional; scores the
         # model_top_k best Jaccard candidates of still-unmatched queries
         self.model = ray.get(model_ref) if model_ref is not None else None
@@ -322,7 +329,14 @@ class MatcherActor:
                     f_tsr[i] = tsrv
                 if self.ab is not None:
                     if unique:
-                        lev_arg = self._gated_ratio(norm, truths[best])
+                        # gated chain reusing the delv/tsrv already
+                        # computed above (identical to _gated_ratio)
+                        thr = self.cfg.lev_threshold
+                        if delv < thr:
+                            lev_arg = 0
+                        else:
+                            r = lev_ratio(norm, truths[best])
+                            lev_arg = r if r > thr else tsrv
                         margin = float(p[best]) - p2v
                         ab_idx.append(i)
                         # EXACT order of tools/train_abstainer.FEATURES;

@@ -34,33 +34,18 @@ LEV_FLOORS = [101, 96, 94, 92, 90, 88, 85, 80]
 
 def sweep_counts(rows: list[dict], act: dict[int, int], nf: int,
                  threshold: float, lev_floor: int = 101) -> dict:
-    correct = wrong = correct_nf = wrong_nf = 0
-    pred = {}
-    for r in rows:
-        tid = r["title_id"]
-        if (r["tier"] == "model" and r["prediction"] <= threshold
-                and r.get("lev_best", 0) < lev_floor):
-            tid = nf
-        pred[r["test_index"]] = tid
-    for ti, a in act.items():
-        p = pred.get(ti, nf)
-        if a == nf:
-            if p == nf:
-                correct_nf += 1
-            else:
-                wrong += 1
-        else:
-            if p == a:
-                correct += 1
-            elif p == nf:
-                wrong_nf += 1
-            else:
-                wrong += 1
-    return {"threshold": threshold, "lev_floor": lev_floor,
-            "correctly_matched": correct,
-            "incorrectly_matched": wrong, "correctly_not_found": correct_nf,
-            "incorrectly_not_found": wrong_nf,
-            "custom_error": wrong_nf + 5 * wrong}
+    """(p, lev_floor) accept rule expressed through the shared
+    predicate-based scorer (tools/train_abstainer.golden_counts) so the
+    confusion/custom-error convention lives in exactly one place."""
+    sys.path.insert(0, ROOT)
+    from tools.train_abstainer import golden_counts
+
+    rep = golden_counts(
+        rows, act, nf,
+        lambda r: not (r["prediction"] <= threshold
+                       and r.get("lev_best", 0) < lev_floor))
+    rep.update({"threshold": threshold, "lev_floor": lev_floor})
+    return rep
 
 
 def main() -> None:

@@ -107,7 +107,16 @@ def main() -> None:
                     help="dump raw train/test feature rows for offline reuse")
     ap.add_argument("--rows", default=None,
                     help="reuse a --save-rows dump: refit + sweep with NO "
-                         "Ray runs (feature/label data is fully cached)")
+                         "Ray runs (feature/label data is fully cached; "
+                         "pass the same --model the dump was made with so "
+                         "the artifact provenance stays truthful)")
+    ap.add_argument("--artifact-out", default=None,
+                    help="write the runtime abstainer artifact (dict with "
+                         "model/q_min/features/pair_model/model_top_k — "
+                         "what match_pipeline(abstainer=...) and the CLI "
+                         "--abstainer load) from the fitted GBDT learner")
+    ap.add_argument("--q-min", type=float, default=0.05,
+                    help="accept threshold stored in --artifact-out")
     args = ap.parse_args()
 
     sys.path.insert(0, ROOT)
@@ -187,7 +196,8 @@ def main() -> None:
     results = []
     for name, lrn in learners.items():
         if name == "gbdt":
-            # held-out eval for early stopping (last 20% by hash order)
+            # held-out eval for early stopping: every 5th train_index
+            # (modulo stratification, not a contiguous tail)
             h = np.array([r["test_index"] % 5 == 0 for r in tr])
             lrn.fit(X[~h], y[~h], eval_set=(X[h], y[h]))
         else:
@@ -203,6 +213,19 @@ def main() -> None:
             rep.update({"learner": name, "q_min": q_min})
             results.append(rep)
             print(json.dumps(rep))
+
+    if args.artifact_out:
+        import pickle
+
+        art = {"model": learners["gbdt"], "features": FEATURES,
+               "q_min": args.q_min,
+               "trained_on": "example_train model-tier rows "
+                             "(80/20 hash split for early stop)",
+               "pair_model": os.path.basename(args.model),
+               "model_top_k": args.topk}
+        with open(args.artifact_out, "wb") as f:
+            pickle.dump(art, f)
+        print(f"artifact written: {args.artifact_out}", file=sys.stderr)
 
     dom = [r for r in results if r["correctly_matched"] >= 5929
            and r["custom_error"] <= 633]
