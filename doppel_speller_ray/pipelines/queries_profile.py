@@ -167,7 +167,7 @@ def q_table_profile(sf_dir: str):
 def _sql_profile_one(c: str) -> str:
     return f"""
 SELECT '{c}' AS col, count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        count(DISTINCT {c}) AS n_distinct,
        min({c}) AS min_val, max({c}) AS max_val,
        floor(avg(length({c})) * 1000000 + 0.5) / 1000000 AS avg_len

@@ -78,7 +78,7 @@ SQL_JSON_PROPS_STATS = """
 WITH e AS (SELECT event_type,
                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
            FROM events)
-SELECT event_type, count(*) AS n, sum(k) AS sum_k,
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
        floor(sum(k) * 1.0 / count(*) * 1000000 + 0.5) / 1000000 AS avg_k
 FROM e GROUP BY event_type
 """

@@ -61,9 +61,12 @@ def main() -> int:
                     f"schema {list(ray_df.columns)} != {list(ora_df.columns)}")
             if len(ray_df) != len(ora_df):
                 raise AssertionError(f"rows {len(ray_df)} != {len(ora_df)}")
+            # Driver parity: its gate is an EXACT value-hash over the
+            # column-name-sorted frame, so any dtype difference (int64 5
+            # vs float64 5.0) or value bit-difference is a red row there.
+            # Rehearse with the same strictness — no rtol, no dtype slack.
             pd.testing.assert_frame_equal(
-                ray_df, ora_df, check_dtype=False, check_exact=False,
-                rtol=1e-6, atol=1e-12)
+                ray_df, ora_df, check_dtype=True, check_exact=True)
             status = "ok"
         except Exception as ex:  # noqa: BLE001 — rehearsal must not stop
             status = f"FAIL {type(ex).__name__}: {str(ex)[:160]}"
