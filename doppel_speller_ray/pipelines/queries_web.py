@@ -560,16 +560,16 @@ FROM s GROUP BY doc_id
 # synthesized-structure convention as q_link_graph), and rank is iterated
 # _PR_ITERS times with damping _PR_ALPHA and dangling-mass redistribution.
 #
-# Shape: the EDGE list is partition-resident and never shuffles — it is
-# materialized to object-store refs once and re-mapped per iteration; each
-# batch bincounts its edges' contributions into sparse (node_pos, mass)
-# partials, and ONE combine task per iteration folds partials + dangling +
-# damping into the next rank vector (object store, never the driver). The
-# rank vector is the broadcast-bounded side (|nodes| entries); at 10^12
-# nodes the same loop runs with rank as a Dataset and the contribution
-# step as an edges⋈rank hash join + dst groupby — the join machinery is
-# demonstrated in stages/verify.py; this entry pins the iteration
-# semantics.
+# Shape: VERTEX-PARTITIONED — no whole-graph object anywhere. The edge
+# list is materialized once and never re-shuffled; out-degree and the
+# distinct node set are one bounded groupby each. Rank lives as a Dataset
+# keyed by node id (with its static out-degree attached), and every
+# iteration is: one bounded dangling-mass aggregate (a single double), one
+# edges⋈rank hash join on src, one groupby(dst) contribution sum, and one
+# left-outer join back onto the rank table. Each structure is hash-
+# partitioned by node id, so at 10^12 nodes every step stays a partitioned
+# exchange — nothing node- or edge-proportional is ever held in a single
+# object or on the driver.
 
 _PR_ITERS = 3
 _PR_ALPHA = 0.85
@@ -577,11 +577,13 @@ _PR_FANOUT = (1, 2, 3)
 
 
 def q_pagerank(sf_dir: str):
-    import ray
-    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..util import default_num_partitions, drop_empty_blocks
 
     docs = _docs(sf_dir, ["doc_id"])
     n_docs = docs.count()
+    nparts = default_num_partitions()
 
     def edges_batch(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -590,57 +592,105 @@ def q_pagerank(sf_dir: str):
         return pa.table({"src": pa.array(src, pa.int64()),
                          "dst": pa.array(dst, pa.int64())})
 
-    edges_refs = docs.map_batches(
-        edges_batch, batch_format="pyarrow").to_arrow_refs()
+    edges = docs.map_batches(
+        edges_batch, batch_format="pyarrow").materialize()
 
-    def _init_model(*tables):
-        live = [x for x in tables if x.num_columns]
-        t = pa.concat_tables(live, promote_options="none")
-        src = t["src"].to_numpy(zero_copy_only=False)
-        dst = t["dst"].to_numpy(zero_copy_only=False)
-        nodes = np.union1d(src, dst)
-        outd = np.bincount(np.searchsorted(nodes, src),
-                           minlength=len(nodes)).astype(np.float64)
-        rank = np.full(len(nodes), 1.0 / len(nodes))
-        return nodes, outd, rank
+    # Static per-node out-degree AND the distinct node set in ONE bounded
+    # groupby: each edge emits (src, 1) and (dst, 0); Sum per id is the
+    # out-degree, and every endpoint appears, so the keys ARE the node set
+    # (dangling nodes — never a src — come out with outd = 0).
+    from ray.data.aggregate import Max
 
-    init = ray.remote(num_cpus=1)(_init_model)
-    model_ref = init.remote(*edges_refs)
+    def _endpoints(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ids = np.concatenate([
+            t["src"].to_numpy(zero_copy_only=False),
+            t["dst"].to_numpy(zero_copy_only=False)])
+        o = np.concatenate([np.ones(n, np.int64), np.zeros(n, np.int64)])
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "o": pa.array(o, pa.int64())})
 
-    def contrib(t: pa.Table, *, ref) -> pa.Table:
-        nodes, outd, rank = ray.get(ref)
-        src = t["src"].to_numpy(zero_copy_only=False)
-        dst = t["dst"].to_numpy(zero_copy_only=False)
-        si = np.searchsorted(nodes, src)
-        di = np.searchsorted(nodes, dst)
-        m = np.bincount(di, weights=rank[si] / outd[si], minlength=len(nodes))
-        nz = np.flatnonzero(m)
-        return pa.table({"pos": pa.array(nz, pa.int64()),
-                         "m": pa.array(m[nz], pa.float64())})
+    nodes_outd = (
+        edges.map_batches(_endpoints, batch_format="pyarrow")
+        .groupby("id").aggregate(Sum("o", alias_name="outd"))
+        .materialize())
+    n_nodes = nodes_outd.count()
 
-    def _step(model, *parts):
-        nodes, outd, rank = model
-        n = len(nodes)
-        mass = np.zeros(n)
-        for p in parts:
-            if p.num_columns:
-                pos = p["pos"].to_numpy(zero_copy_only=False)
-                mass[pos] += p["m"].to_numpy(zero_copy_only=False)
-        dangling = rank[outd == 0].sum()
-        new = (1 - _PR_ALPHA) / n + _PR_ALPHA * (mass + dangling / n)
-        return nodes, outd, new
+    def _init_rank(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": t["id"],
+            "outd": pc.cast(t["outd"], pa.int64()),
+            "r": pa.array(np.full(len(t), 1.0 / n_nodes), pa.float64()),
+        })
 
-    step = ray.remote(num_cpus=1)(_step)
+    rank = nodes_outd.map_batches(
+        _init_rank, batch_format="pyarrow").materialize()
+
+    def _dangle_partial(t: pa.Table) -> pa.Table:
+        od = t["outd"].to_numpy(zero_copy_only=False)
+        r = t["r"].to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array([float(r[od == 0].sum())],
+                                       pa.float64())})
+
+    def _edge_mass(t: pa.Table) -> pa.Table:
+        # edges⋈rank output row = (src, dst, [id,] outd, r); re-key the
+        # mass to the DESTINATION node, outd=0 so the fold groupby's Max
+        # recovers the destination's true out-degree from its zero-row.
+        r = t["r"].to_numpy(zero_copy_only=False)
+        od = t["outd"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"id": t["dst"],
+                         "outd": pa.array(np.zeros(len(t), np.int64),
+                                          pa.int64()),
+                         "m": pa.array(r / od, pa.float64())})
+
+    def _zero_mass(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["id"], "outd": t["outd"],
+                         "m": pa.array(np.zeros(len(t)), pa.float64())})
+
+    def _fold(dangling: float):
+        def fn(t: pa.Table) -> pa.Table:
+            m = t["m"].to_numpy(zero_copy_only=False).astype(np.float64)
+            new = (1 - _PR_ALPHA) / n_nodes \
+                + _PR_ALPHA * (m + dangling / n_nodes)
+            return pa.table({"id": t["id"],
+                             "outd": pc.cast(t["outd"], pa.int64()),
+                             "r": pa.array(new, pa.float64())})
+        return fn
+
     for _ in range(_PR_ITERS):
-        parts = rd.from_arrow_refs(edges_refs).map_batches(
-            contrib, batch_format="pyarrow", fn_kwargs={"ref": model_ref})
-        model_ref = step.remote(model_ref, *parts.to_arrow_refs())
+        # Dangling mass: a single double off a bounded aggregate.
+        dangling = rank.map_batches(
+            _dangle_partial, batch_format="pyarrow").sum("d") or 0.0
+        # Contribution: edges ⋈ rank on src (both hash-partitioned by
+        # node id), per-edge mass r/outd re-keyed to dst, unioned with a
+        # zero-mass row per node (so rankless sinks survive), folded by
+        # ONE groupby(id){Sum m, Max outd} — the only per-iteration
+        # exchanges are this join and this groupby.
+        # drop_empty_blocks: the sort-based Aggregate that produced rank
+        # can emit schema-less empty blocks at high partition counts; a
+        # join hash partition fed only those fails (see util).
+        contrib = edges.join(
+            drop_empty_blocks(rank), join_type="inner",
+            num_partitions=nparts,
+            on=("src",), right_on=("id",)) \
+            .map_batches(_edge_mass, batch_format="pyarrow")
+        rank = (contrib
+                .union(rank.map_batches(_zero_mass, batch_format="pyarrow"))
+                .groupby("id")
+                .aggregate(Sum("m", alias_name="m"),
+                           Max("outd", alias_name="outd"))
+                .map_batches(_fold(dangling), batch_format="pyarrow")
+                .materialize())
 
-    nodes, _, rank = ray.get(model_ref)
-    return rd.from_arrow(pa.table({
-        "node_id": pa.array(nodes, pa.int64()),
-        "pagerank": pa.array(_round6_half_up(rank), pa.float64()),
-    }))
+    def _final(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node_id": pa.array(
+                t["id"].to_numpy(zero_copy_only=False), pa.int64()),
+            "pagerank": pa.array(_round6_half_up(r), pa.float64()),
+        })
+
+    return rank.map_batches(_final, batch_format="pyarrow")
 
 
 def _sql_pagerank() -> str:
