@@ -331,13 +331,70 @@ SELECT doc_id AS rep_id, group_size, quality_score FROM r WHERE rn = 1
 
 _SEM_TAU = 0.98
 _SEM_COL_BLOCK = 512  # GEMM column block: |C| × 512 × 8 B ≤ ~50 MB per task
+#: Max cluster size fed to the quadratic prune. A k-means cluster larger
+#: than this is recursively 2-means-split (deterministic seeding) first,
+#: and the prune runs within the leaves — bounding per-cluster compute to
+#: O(|C| · cap) FLOPs instead of O(|C|²), the same skew defense as the
+#: LSH tier's bucket cap. SemDeDup's own operating assumption is that k
+#: scales with the corpus so clusters stay bounded; the split only
+#: engages on pathological skew. Identical vectors always co-locate
+#: through the split (equal distances ⇒ same side), so exact-duplicate
+#: removal is preserved; τ=0.98 near-dups are overwhelmingly co-located
+#: for the same reason. The shared testdata's clusters sit far below the
+#: cap, so the SQL oracle's exact semantics are untouched there.
+_SEM_MAX_CLUSTER = 4096
+
+
+def _split_leaves(mat: np.ndarray, idx: np.ndarray, cap: int) -> list:
+    """Deterministic recursive 2-means split of rows ``idx`` (positions
+    into ``mat``, already min-id-first sorted) into leaves of ≤ cap.
+
+    Seeding is data-deterministic: centroid A = the first row (lowest
+    vec_id), centroid B = the row farthest from A; assignment by nearer
+    centroid with ties (incl. identical vectors) going to A's side. One
+    Lloyd refinement step sharpens the halves; a degenerate split (all
+    rows one side — e.g. all-identical vectors) falls back to an ordered
+    halving so recursion always terminates."""
+    if len(idx) <= cap:
+        return [idx]
+    sub = mat[idx]
+    d_a = ((sub - sub[0]) ** 2).sum(axis=1)
+    b = int(np.argmax(d_a))
+    ca, cb = sub[0], sub[b]
+    for _ in range(2):
+        left = ((sub - ca) ** 2).sum(axis=1) <= ((sub - cb) ** 2).sum(axis=1)
+        if left.all() or not left.any():
+            break
+        ca, cb = sub[left].mean(axis=0), sub[~left].mean(axis=0)
+    if left.all() or not left.any():
+        mid = len(idx) // 2
+        return (_split_leaves(mat, idx[:mid], cap)
+                + _split_leaves(mat, idx[mid:], cap))
+    return (_split_leaves(mat, idx[left], cap)
+            + _split_leaves(mat, idx[~left], cap))
+
+
+def _prune_leaf(matn: np.ndarray, removed: np.ndarray,
+                leaf: np.ndarray) -> None:
+    """Min-id prune within one leaf: mark row b removed iff ∃ a earlier in
+    the (id-sorted) leaf with cosine ≥ τ. Blockwise GEMM over column
+    blocks so the similarity matrix is never materialized at |leaf|²."""
+    sub = matn[leaf]
+    n = len(leaf)
+    row_idx = np.arange(n)
+    for lo in range(0, n, _SEM_COL_BLOCK):
+        hi = min(lo + _SEM_COL_BLOCK, n)
+        sims = sub @ sub[lo:hi].T                         # (n, hi-lo)
+        earlier = row_idx[:, None] < np.arange(lo, hi)[None, :]
+        removed[leaf[lo:hi]] = ((sims >= _SEM_TAU) & earlier).any(axis=0)
 
 
 def _semdedup_prune(group: pa.Table, **_kwargs) -> pa.Table:
     """Within one k-means cluster: drop vec b iff ∃ a < b (by vec_id) in the
     cluster with cosine(a, b) ≥ τ — the deterministic min-id variant of
-    SemDeDup's per-cluster prune. Blockwise GEMM over column blocks so the
-    similarity matrix is never materialized at |C|²."""
+    SemDeDup's per-cluster prune. Clusters above _SEM_MAX_CLUSTER are
+    recursively 2-means-split first (see _split_leaves) so per-cluster
+    compute stays O(|C| · cap)."""
     ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     emb = group["embedding"].combine_chunks()
     mat = np.asarray(emb.values, dtype=np.float64).reshape(len(group), -1)
@@ -348,12 +405,8 @@ def _semdedup_prune(group: pa.Table, **_kwargs) -> pa.Table:
     matn = mat / np.where(norms == 0, 1, norms)[:, None]
 
     removed = np.zeros(n, dtype=bool)
-    row_idx = np.arange(n)
-    for lo in range(0, n, _SEM_COL_BLOCK):
-        hi = min(lo + _SEM_COL_BLOCK, n)
-        sims = matn @ matn[lo:hi].T                       # (n, hi-lo)
-        earlier = row_idx[:, None] < np.arange(lo, hi)[None, :]
-        removed[lo:hi] = ((sims >= _SEM_TAU) & earlier).any(axis=0)
+    for leaf in _split_leaves(mat, np.arange(n), _SEM_MAX_CLUSTER):
+        _prune_leaf(matn, removed, leaf)
 
     cid = group["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({

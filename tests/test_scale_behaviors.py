@@ -141,3 +141,79 @@ def test_hash_sample_stable_under_repartitioning(ray_session):
     sb = sorted(r["id"] for r in b.take_all())
     assert sa == sb
     assert sa == sorted(ids[mask].tolist())
+
+
+def test_semdedup_skew_cap(monkeypatch):
+    """A pathological k-means cluster (far above _SEM_MAX_CLUSTER) must be
+    recursively split before the quadratic prune: no leaf exceeds the cap,
+    and planted exact duplicates are still removed (identical vectors
+    co-locate through the deterministic 2-means split)."""
+    import numpy as np
+
+    from doppel_speller_ray.pipelines import queries_quality as qq
+
+    rng = np.random.default_rng(11)
+    n_base, d, cap = 400, 16, 50
+    base = rng.normal(size=(n_base, d))
+    base /= np.linalg.norm(base, axis=1)[:, None]
+    # doubled corpus: copy of vector i gets id i + n_base (always later)
+    vecs = np.concatenate([base, base])
+    ids = np.arange(2 * n_base)
+
+    leaf_sizes = []
+    orig = qq._split_leaves
+
+    def spy(mat, idx, cap_):
+        leaves = orig(mat, idx, cap_)
+        if len(idx) == len(mat):  # record only the top-level result
+            leaf_sizes.extend(len(leaf) for leaf in leaves)
+        return leaves
+
+    monkeypatch.setattr(qq, "_SEM_MAX_CLUSTER", cap)
+    monkeypatch.setattr(qq, "_split_leaves", spy)
+
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster_id": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    out = qq._semdedup_prune(t)
+    keep = dict(zip(out["vec_id"].to_pylist(), out["keep"].to_pylist()))
+
+    assert leaf_sizes and max(leaf_sizes) <= cap
+    # every planted copy removed, every base kept
+    assert all(not keep[i + n_base] for i in range(n_base))
+    assert all(keep[i] for i in range(n_base))
+
+
+def test_semdedup_cap_matches_uncapped_on_separated_concepts(monkeypatch):
+    """When near-dup pairs are genuinely close (exact copies) and distinct
+    concepts are well separated, the capped prune returns the SAME keep set
+    as the uncapped one — the split only partitions across-concept
+    comparisons that were below tau anyway."""
+    import numpy as np
+
+    from doppel_speller_ray.pipelines import queries_quality as qq
+
+    rng = np.random.default_rng(5)
+    n_base, d = 120, 32
+    base = rng.normal(size=(n_base, d))
+    base /= np.linalg.norm(base, axis=1)[:, None]
+    vecs = np.concatenate([base, base])
+    ids = np.arange(2 * n_base)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster_id": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+
+    ref = qq._semdedup_prune(t)
+    ref_keep = dict(zip(ref["vec_id"].to_pylist(), ref["keep"].to_pylist()))
+
+    monkeypatch.setattr(qq, "_SEM_MAX_CLUSTER", 40)
+    capped = qq._semdedup_prune(t)
+    cap_keep = dict(zip(capped["vec_id"].to_pylist(),
+                        capped["keep"].to_pylist()))
+    assert cap_keep == ref_keep
