@@ -91,12 +91,40 @@ def cmd_generate_predictions(args) -> int:
                              "abstainer would silently influence nothing")
         with open(args.abstainer, "rb") as f:
             abstainer = pickle.load(f)
+        # q is calibrated to ONE verifier's probability distribution: the
+        # artifact must name its pair model (digest preferred — a renamed
+        # or substituted file fails the content check, not just the name).
         expect = abstainer.get("pair_model")
-        if expect and os.path.basename(args.model) != expect:
+        expect_sha = abstainer.get("pair_model_sha256")
+        if not expect and not expect_sha:
+            raise SystemExit(
+                "--abstainer artifact carries no pair-model provenance "
+                "(neither 'pair_model' nor 'pair_model_sha256'); refusing "
+                "to run a possibly miscalibrated abstainer — retrain with "
+                "tools/train_abstainer.py --artifact-out")
+        if expect_sha:
+            import hashlib
+
+            with open(args.model, "rb") as mf:
+                got_sha = hashlib.sha256(mf.read()).hexdigest()
+            if got_sha != expect_sha:
+                raise SystemExit(
+                    f"--abstainer artifact was trained against pair-model "
+                    f"sha256 {expect_sha[:12]}… but --model "
+                    f"'{os.path.basename(args.model)}' hashes to "
+                    f"{got_sha[:12]}…; q is calibrated to that verifier's "
+                    "probability distribution")
+        elif os.path.basename(args.model) != expect:
             raise SystemExit(
                 f"--abstainer artifact was trained against '{expect}' but "
                 f"--model is '{os.path.basename(args.model)}'; q is "
                 "calibrated to that verifier's probability distribution")
+        # the abstainer REPLACES the two fixed accept axes; explicit
+        # non-default values would silently do nothing — say so
+        if args.prediction_threshold != 0.9 or args.lev_accept_floor != 101:
+            print("warning: --abstainer replaces --prediction-threshold/"
+                  "--lev-accept-floor; the non-default value(s) passed "
+                  "will have no effect", file=sys.stderr)
     cfg = MatchConfig(
         prediction_threshold=args.prediction_threshold,
         lev_accept_floor=args.lev_accept_floor)

@@ -214,7 +214,7 @@ SQL_DECONTAMINATE = f"""
 WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
 aug AS (
   SELECT d.doc_id,
-         CASE WHEN d.doc_id % 10 = 3 AND b.text IS NOT NULL THEN d.text || ' ' ||
+         CASE WHEN d.doc_id % 10 = 3 AND b.text IS NOT NULL THEN coalesce(d.text, '') || ' ' ||
               array_to_string(string_split_regex(trim(b.text), '\\s+')[1:5], ' ')
               ELSE d.text END AS text
   FROM documents d
@@ -330,7 +330,7 @@ SQL_CONTAM_SPANS = f"""
 WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
 aug AS (
   SELECT d.doc_id,
-         CASE WHEN d.doc_id % 10 = 3 AND b.text IS NOT NULL THEN d.text || ' ' ||
+         CASE WHEN d.doc_id % 10 = 3 AND b.text IS NOT NULL THEN coalesce(d.text, '') || ' ' ||
               array_to_string(string_split_regex(trim(b.text), '\\s+')[1:5], ' ')
               ELSE d.text END AS text
   FROM documents d

@@ -175,6 +175,15 @@ class MatcherActor:
                 raise ValueError(
                     f"abstainer artifact was trained at model_top_k="
                     f"{self.ab['model_top_k']}, matcher runs {model_top_k}")
+        if self.ab is not None and self.ab.get("cfg_top_k") is not None:
+            # cfg.top_k bounds the candidate list BEFORE the model tier and
+            # feeds cand_count / cscore_* / tier2_* decision features — a
+            # different depth shifts those distributions just like
+            # model_top_k shifts p_sum/arg_rank
+            if int(self.ab["cfg_top_k"]) != int(cfg.top_k):
+                raise ValueError(
+                    f"abstainer artifact was trained at cfg.top_k="
+                    f"{self.ab['cfg_top_k']}, matcher runs {cfg.top_k}")
         # tier-3 model verifier (predict.py:185-254): optional; scores the
         # model_top_k best Jaccard candidates of still-unmatched queries
         self.model = ray.get(model_ref) if model_ref is not None else None

@@ -80,7 +80,7 @@ def mini_docs(tmp_path):
             "text": pa.array([r[1] for r in rows], pa.string()),
             "lang": pa.array(["en"] * len(rows), pa.string()),
             "source": pa.array(["t"] * len(rows), pa.string()),
-            "n_chars": pa.array([len(r[1]) for r in rows], pa.int32()),
+            "n_chars": pa.array([len(r[1] or "") for r in rows], pa.int32()),
         })
         import pyarrow.parquet as pq
 
@@ -352,3 +352,47 @@ def test_contam_spans_hand(ray_session, mini_docs):
                 f"read_parquet('{sf}/documents.parquet')")
     oracle = sorted(map(tuple, con.execute(SQL_CONTAM_SPANS).fetchall()))
     assert oracle == want, oracle
+
+
+def test_decontaminate_null_text_parity(ray_session, mini_docs):
+    """A planted doc (doc_id % 10 == 3) with NULL text must agree between
+    the Ray path (fill_null + append snippet) and the SQL oracle
+    (coalesce(d.text,'') in the planting CASE) — the latent divergence
+    flagged in round-4 review: without the COALESCE the SQL side's
+    NULL || snip stayed NULL and the doc was silently dropped from the
+    gram stream."""
+    import duckdb
+    import pandas as pd
+
+    from doppel_speller_ray.pipelines.queries_corpus import (
+        SQL_CONTAM_SPANS, SQL_DECONTAMINATE, q_contam_spans)
+
+    sf = mini_docs([
+        (0, "alpha beta gamma delta epsilon zeta"),   # benchmark
+        (1, "one two three four five six"),           # clean
+        (3, None),                                    # planted, NULL text
+        (13, "hello worlds apart entirely disjoint"), # planted, normal
+        (7, None),                                    # non-planted NULL
+    ])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    ray_flag = canon(q_decontaminate(sf).to_pandas())
+    ora_flag = canon(con.execute(SQL_DECONTAMINATE).fetchdf())
+    pd.testing.assert_frame_equal(ray_flag, ora_flag,
+                                  check_dtype=True, check_exact=True)
+    # doc 3: NULL text + planted snippet → grams come from the snippet
+    # alone → contaminated on BOTH sides
+    flags = dict(zip(ray_flag["doc_id"], ray_flag["contaminated"]))
+    assert flags[3] and not flags[7] and not flags[1]
+
+    ray_sp = canon(q_contam_spans(sf).to_pandas())
+    ora_sp = canon(con.execute(SQL_CONTAM_SPANS).fetchdf())
+    pd.testing.assert_frame_equal(ray_sp, ora_sp,
+                                  check_dtype=True, check_exact=True)
+    assert 3 in set(ray_sp["doc_id"])

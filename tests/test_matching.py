@@ -322,3 +322,32 @@ def test_runtime_abstainer_replaces_threshold_axes(ray_session):
             if r["tier"] in ("exact", "lev")}
     assert {(r["test_index"], r["tier"]) for r in none
             if r["tier"] in ("exact", "lev")} == kept
+
+
+def test_abstainer_cfg_topk_guard(ray_session):
+    """An abstainer artifact trained at a different cfg.top_k must fail
+    loudly at actor init (cand_count/cscore_*/tier2_* decision features
+    shift with the candidate-list depth), and a matching cfg_top_k must
+    pass."""
+    import ray.data as rd
+
+    from doppel_speller_ray.pipelines.matching import match_pipeline
+
+    truth, _, _ = make_titles(n_truth=40, n_test=4, seed=3)
+    test = pa.Table.from_pylist(
+        [{"test_index": j, "title": truth["title"][j].as_py()}
+         for j in range(4)])
+    cfg = MatchConfig(top_k=20, concurrency=1, seed=3,
+                      prediction_threshold=0.0)
+
+    with pytest.raises(Exception, match="cfg.top_k"):
+        match_pipeline(
+            rd.from_arrow(test), rd.from_arrow(truth), cfg,
+            abstainer={"model": _const_q(50.0), "q_min": 0.5,
+                       "cfg_top_k": 100}).take_all()
+
+    ok = match_pipeline(
+        rd.from_arrow(test), rd.from_arrow(truth), cfg,
+        abstainer={"model": _const_q(50.0), "q_min": 0.5,
+                   "cfg_top_k": 20}).take_all()
+    assert len(ok) == 4

@@ -127,12 +127,47 @@ def main() -> None:
     cfg = MatchConfig(prediction_threshold=0.0)
     nf = cfg.not_found_value
 
+    def _model_sha(path: str) -> str:
+        import hashlib
+
+        with open(path, "rb") as mf:
+            return hashlib.sha256(mf.read()).hexdigest()
+
     if args.rows:
         with open(args.rows) as f:
             cached = json.load(f)
         train_rows, test_rows = cached["train"], cached["test"]
         train_act = {int(k): v for k, v in cached["train_act"].items()}
         test_act = {int(k): v for k, v in cached["test_act"].items()}
+        # provenance comes FROM THE DUMP, not from this re-run's flags —
+        # an artifact refit from a dump made with a different model/topk
+        # must not be mislabeled (the runtime guards would then enforce
+        # the wrong pairing). Error on an explicit mismatch.
+        prov = cached.get("provenance")
+        if prov:
+            if os.path.basename(args.model) != prov["pair_model"]:
+                raise SystemExit(
+                    f"--rows dump was generated with pair model "
+                    f"'{prov['pair_model']}' but --model is "
+                    f"'{os.path.basename(args.model)}'; pass the matching "
+                    "--model (or regenerate the dump)")
+            if int(args.topk) != int(prov["model_top_k"]):
+                raise SystemExit(
+                    f"--rows dump was generated at model_top_k="
+                    f"{prov['model_top_k']} but --topk is {args.topk}")
+            pair_model_name = prov["pair_model"]
+            pair_model_sha = prov.get("pair_model_sha256")
+            artifact_topk = int(prov["model_top_k"])
+            artifact_cfg_topk = prov.get("cfg_top_k")
+        else:
+            print("warning: legacy --rows dump without provenance; "
+                  "trusting --model/--topk flags for artifact labeling",
+                  file=sys.stderr)
+            pair_model_name = os.path.basename(args.model)
+            pair_model_sha = _model_sha(args.model) \
+                if os.path.exists(args.model) else None
+            artifact_topk = args.topk
+            artifact_cfg_topk = cfg.top_k
     else:
         import ray
 
@@ -169,10 +204,20 @@ def main() -> None:
         print(f"match runs: train {t_train:.0f}s test {t_test:.0f}s",
               file=sys.stderr)
 
+        pair_model_name = os.path.basename(args.model)
+        pair_model_sha = _model_sha(args.model)
+        artifact_topk = args.topk
+        artifact_cfg_topk = cfg.top_k
+
         if args.save_rows:
             with open(args.save_rows, "w") as f:
                 json.dump({"train": train_rows, "test": test_rows,
-                           "train_act": train_act, "test_act": test_act}, f)
+                           "train_act": train_act, "test_act": test_act,
+                           "provenance": {
+                               "pair_model": pair_model_name,
+                               "pair_model_sha256": pair_model_sha,
+                               "model_top_k": args.topk,
+                               "cfg_top_k": cfg.top_k}}, f)
 
     # --- abstainer training set: model-tier rows of the train split ------
     tr = [r for r in train_rows if r["tier"] == "model"]
@@ -221,8 +266,10 @@ def main() -> None:
                "q_min": args.q_min,
                "trained_on": "example_train model-tier rows "
                              "(80/20 hash split for early stop)",
-               "pair_model": os.path.basename(args.model),
-               "model_top_k": args.topk}
+               "pair_model": pair_model_name,
+               "pair_model_sha256": pair_model_sha,
+               "model_top_k": artifact_topk,
+               "cfg_top_k": artifact_cfg_topk}
         with open(args.artifact_out, "wb") as f:
             pickle.dump(art, f)
         print(f"artifact written: {args.artifact_out}", file=sys.stderr)
