@@ -2387,6 +2387,14 @@ try:
 except ImportError:
     pass  # same mid-initialization convention as queries_corpus above
 
+try:
+    from .queries_features import FEATURE_ORACLES, FEATURE_QUERIES  # noqa: E402
+
+    QUERIES.update(FEATURE_QUERIES)
+    ORACLES.update(FEATURE_ORACLES)
+except ImportError:
+    pass  # same mid-initialization convention as queries_corpus above
+
 
 # ---------------------------------------------------------------------------
 # Multimodal decode under the driver gate: synthesized two-stripe BMPs run

@@ -1019,15 +1019,26 @@ def q_incremental_clusters(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_i, pa.int64()),
                          "text": pa.array(out_t, pa.string())})
 
+    import time
+
     state_dir = tempfile.mkdtemp(prefix="graft_incr_state_", dir="/tmp")
     try:
+        t0 = time.perf_counter()
         res = dedup_pipeline(base.map_batches(mk_base, batch_format="pyarrow"),
                              _QCFG)
         save_dedup_state(res, _QCFG, state_dir)
+        t_save = time.perf_counter() - t0
+        t0 = time.perf_counter()
         inc = incremental_dedup(
             state_dir, base.map_batches(mk_delta, batch_format="pyarrow"),
             _QCFG)
-        return inc.clusters.materialize()
+        out = inc.clusters.materialize()
+        t_delta = time.perf_counter() - t0
+        # bench reads the phase split (save-state is a one-off; the delta
+        # path is what repeats daily at scale and must not hide behind it)
+        q_incremental_clusters.last_phase_seconds = {
+            "save": t_save, "delta": t_delta}
+        return out
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
 
