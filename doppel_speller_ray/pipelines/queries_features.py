@@ -53,7 +53,7 @@ def q_pair_features(sf_dir: str):
     from ..functions.features import (MAX_CHARS, encode_title,
                                       truth_word_counts)
     from ..functions.normalize import normalize_array
-    from ..util import default_num_partitions, drop_empty_blocks
+    from ..util import drop_empty_blocks, sized_num_partitions
 
     def split_norm(id_name: str, norm_name: str, keep_heads: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -98,7 +98,7 @@ def q_pair_features(sf_dir: str):
     pairs = drop_empty_blocks(
         queries.map_batches(add_head, batch_format="pyarrow")).join(
         drop_empty_blocks(truth), join_type="inner",
-        num_partitions=default_num_partitions(),
+        num_partitions=sized_num_partitions(n_truth * 10),
         on=("truth_id",), right_on=("truth_id",))
 
     def expand(t: pa.Table) -> pa.Table:

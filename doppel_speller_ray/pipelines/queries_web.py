@@ -579,11 +579,13 @@ _PR_FANOUT = (1, 2, 3)
 def q_pagerank(sf_dir: str):
     from ray.data.aggregate import Sum
 
-    from ..util import default_num_partitions, drop_empty_blocks
+    from ..util import drop_empty_blocks, sized_num_partitions
 
     docs = _docs(sf_dir, ["doc_id"])
     n_docs = docs.count()
-    nparts = default_num_partitions()
+    # per-iteration join moves |E| = fanout·n_docs rows — size partitions
+    # to that, not to the CPU count (see util.sized_num_partitions)
+    nparts = sized_num_partitions(len(_PR_FANOUT) * n_docs)
 
     def edges_batch(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
