@@ -146,11 +146,20 @@ def incremental_dedup(state_dir: str, delta_ds, cfg: DedupConfig,
             "dedup state was built with a different config "
             "(shingle/banding parameters define the index); rebuild the "
             "state or pass the original config")
-    if num_partitions is None:
-        num_partitions = default_num_partitions()
-
     delta_docs = build_docs(delta_ds, cfg, id_col=id_col, text_col=text_col,
                             with_shingles=False).materialize()
+
+    if num_partitions is None:
+        # size the hash exchanges to the DATA (bigger of stored reps and
+        # the delta), capped by the cluster — each join/aggregate
+        # partition spins an aggregator worker, and CPU-count partitions
+        # at small scale pay ~cpus spin-ups per exchange for nothing
+        # (util.sized_num_partitions; parquet count() is metadata-only)
+        from ..util import sized_num_partitions
+
+        n_prev = rd.read_parquet(os.path.join(state_dir, "reps")).count()
+        num_partitions = sized_num_partitions(
+            max(n_prev, delta_docs.count()))
 
     # --- 2. exact vs existing (join on norm_hash, text-verified) ----------
     prev_reps_light = rd.read_parquet(
