@@ -66,6 +66,12 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+# tier-3 fixed accept-axis defaults — shared by the argparse definition
+# and the --abstainer no-effect warning so they cannot drift
+_DEFAULT_PREDICTION_THRESHOLD = 0.9
+_DEFAULT_LEV_ACCEPT_FLOOR = 101
+
+
 def cmd_generate_predictions(args) -> int:
     from .config import MatchConfig
     from .pipelines.matching import match_pipeline
@@ -103,10 +109,9 @@ def cmd_generate_predictions(args) -> int:
                 "to run a possibly miscalibrated abstainer — retrain with "
                 "tools/train_abstainer.py --artifact-out")
         if expect_sha:
-            import hashlib
+            from .util import file_sha256
 
-            with open(args.model, "rb") as mf:
-                got_sha = hashlib.sha256(mf.read()).hexdigest()
+            got_sha = file_sha256(args.model)
             if got_sha != expect_sha:
                 raise SystemExit(
                     f"--abstainer artifact was trained against pair-model "
@@ -121,7 +126,8 @@ def cmd_generate_predictions(args) -> int:
                 "calibrated to that verifier's probability distribution")
         # the abstainer REPLACES the two fixed accept axes; explicit
         # non-default values would silently do nothing — say so
-        if args.prediction_threshold != 0.9 or args.lev_accept_floor != 101:
+        if (args.prediction_threshold != _DEFAULT_PREDICTION_THRESHOLD
+                or args.lev_accept_floor != _DEFAULT_LEV_ACCEPT_FLOOR):
             print("warning: --abstainer replaces --prediction-threshold/"
                   "--lev-accept-floor; the non-default value(s) passed "
                   "will have no effect", file=sys.stderr)
@@ -196,9 +202,11 @@ def main(argv=None) -> int:
     g.add_argument("--model", default=None,
                    help="optional pickled tier-3 verifier (train-model output)")
     # defaults mirror MatchConfig (imported lazily in the commands)
-    g.add_argument("--prediction-threshold", type=float, default=0.9,
+    g.add_argument("--prediction-threshold", type=float,
+                   default=_DEFAULT_PREDICTION_THRESHOLD,
                    help="tier-3 accept bar on the verifier probability")
-    g.add_argument("--lev-accept-floor", type=int, default=101,
+    g.add_argument("--lev-accept-floor", type=int,
+                   default=_DEFAULT_LEV_ACCEPT_FLOOR,
                    help="hybrid accept: take a unique tier-3 argmax whose "
                         "gated Levenshtein ratio clears this floor even "
                         "when p fails the threshold (101 = off); the "

@@ -115,7 +115,11 @@ def q_pair_features(sf_dir: str):
             enc = encode_title(tn)                      # N4: real kernel
             checksum = int(np.dot(enc.astype(np.int64),
                                   np.arange(1, MAX_CHARS + 1)))
-            words = tn.split()[:N_WORD]
+            # the featurizer enumerates truth words via split(" ") while
+            # truth_word_counts uses .split() internally — mirror BOTH
+            # faithfully (identical on space-normalized text; the mixed
+            # convention is the engine's own, inherited by this shadow)
+            words = tn.split(" ")[:N_WORD]
             wc = truth_word_counts(tn, cnt_map)          # N5: real kernel
             g_words = tn.count(" ") + 1
             idfs = np.array([np.log(n_truth / int(wc[i]))

@@ -331,30 +331,40 @@ SELECT doc_id AS rep_id, group_size, quality_score FROM r WHERE rn = 1
 
 _SEM_TAU = 0.98
 _SEM_COL_BLOCK = 512  # GEMM column block: |C| × 512 × 8 B ≤ ~50 MB per task
-#: Max cluster size fed to the quadratic prune. A k-means cluster larger
-#: than this is recursively 2-means-split (deterministic seeding) first,
-#: and the prune runs within the leaves — bounding per-cluster compute to
-#: O(|C| · cap) FLOPs instead of O(|C|²), the same skew defense as the
-#: LSH tier's bucket cap. SemDeDup's own operating assumption is that k
-#: scales with the corpus so clusters stay bounded; the split only
-#: engages on pathological skew. Identical vectors always co-locate
-#: through the split (equal distances ⇒ same side), so exact-duplicate
-#: removal is preserved; τ=0.98 near-dups are overwhelmingly co-located
-#: for the same reason. The shared testdata's clusters sit far below the
-#: cap, so the SQL oracle's exact semantics are untouched there.
+#: Max cluster size fed to the quadratic prune. Inside an oversized
+#: k-means cluster, exact-duplicate vectors are first collapsed to their
+#: min-id representative CLOSED-FORM (identical nonzero vectors have
+#: cosine exactly 1 ≥ τ, so every later copy is removed by the earliest
+#: one, and removals are judged against ALL earlier vectors, so pruning
+#: the survivors among representatives only is semantics-preserving);
+#: the distinct representatives are then recursively 2-means-split on
+#: the NORMALIZED rows (the prune's own cosine geometry — co-directional
+#: scaled near-dups co-locate) and the quadratic prune runs within
+#: leaves — bounding per-cluster compute to O(|C| · cap) FLOPs, the same
+#: skew defense as the LSH tier's bucket cap. SemDeDup's own operating
+#: assumption is that k scales with the corpus so clusters stay bounded;
+#: the split only engages on pathological skew, where the dominant skew
+#: driver (mass-duplicated boilerplate) is handled exactly by the
+#: closed-form collapse. τ-near-but-distinct pairs falling on opposite
+#: sides of a split is the documented approximation of capping. The
+#: shared testdata's clusters sit far below the cap, so the SQL oracle's
+#: exact semantics are untouched there.
 _SEM_MAX_CLUSTER = 4096
 
 
 def _split_leaves(mat: np.ndarray, idx: np.ndarray, cap: int) -> list:
     """Deterministic recursive 2-means split of rows ``idx`` (positions
-    into ``mat``, already min-id-first sorted) into leaves of ≤ cap.
+    into ``mat`` — pass the NORMALIZED matrix so the split geometry
+    matches the cosine prune; rows already min-id-first sorted) into
+    leaves of ≤ cap.
 
     Seeding is data-deterministic: centroid A = the first row (lowest
     vec_id), centroid B = the row farthest from A; assignment by nearer
-    centroid with ties (incl. identical vectors) going to A's side. One
-    Lloyd refinement step sharpens the halves; a degenerate split (all
-    rows one side — e.g. all-identical vectors) falls back to an ordered
-    halving so recursion always terminates."""
+    centroid with ties going to A's side. One Lloyd refinement step
+    sharpens the halves; a degenerate split (all rows one side — only
+    reachable through pathological tie geometry once exact duplicates
+    are pre-collapsed by the caller) falls back to an ordered halving so
+    recursion always terminates."""
     if len(idx) <= cap:
         return [idx]
     sub = mat[idx]
@@ -405,8 +415,27 @@ def _semdedup_prune(group: pa.Table, **_kwargs) -> pa.Table:
     matn = mat / np.where(norms == 0, 1, norms)[:, None]
 
     removed = np.zeros(n, dtype=bool)
-    for leaf in _split_leaves(mat, np.arange(n), _SEM_MAX_CLUSTER):
-        _prune_leaf(matn, removed, leaf)
+    if n <= _SEM_MAX_CLUSTER:
+        _prune_leaf(matn, removed, np.arange(n))
+    else:
+        # Oversized cluster. 1) Collapse exact-duplicate vectors closed-
+        # form: a later copy of a NONZERO vector has cosine exactly 1
+        # with its earliest copy → removed (a zero vector has cosine 0
+        # with everything → never removed and never removes); survivors
+        # among the distinct representatives are decided by earlier
+        # vectors, of which the min-id copy is the strictest, so pruning
+        # representatives only preserves the uncapped semantics exactly
+        # for the skew case that matters (mass-duplicated rows).
+        _, first, inverse = np.unique(mat, axis=0, return_index=True,
+                                      return_inverse=True)
+        rep_pos = first[inverse]           # min-id copy of each row
+        nonzero = norms > 0
+        removed = (np.arange(n) != rep_pos) & nonzero
+        reps = np.flatnonzero(np.arange(n) == rep_pos)
+        # 2) Split the distinct representatives on the NORMALIZED rows
+        # (the prune's cosine geometry) and prune within leaves.
+        for leaf in _split_leaves(matn, reps, _SEM_MAX_CLUSTER):
+            _prune_leaf(matn, removed, leaf)
 
     cid = group["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({

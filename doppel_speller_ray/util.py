@@ -112,3 +112,16 @@ def drop_empty_blocks(ds):
     if not keep:
         keep = refs[:1]
     return rd.from_arrow_refs(keep)
+
+
+def file_sha256(path: str) -> str:
+    """Content digest used for artifact provenance (abstainer ↔ pair
+    model pairing); shared by the CLI check and tools/train_abstainer so
+    the two sides can never drift."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()

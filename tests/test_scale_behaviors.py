@@ -162,10 +162,13 @@ def test_semdedup_skew_cap(monkeypatch):
 
     leaf_sizes = []
     orig = qq._split_leaves
+    top_level = [True]
 
     def spy(mat, idx, cap_):
+        is_top = top_level[0]
+        top_level[0] = False
         leaves = orig(mat, idx, cap_)
-        if len(idx) == len(mat):  # record only the top-level result
+        if is_top:  # record only the top-level result
             leaf_sizes.extend(len(leaf) for leaf in leaves)
         return leaves
 
@@ -217,3 +220,57 @@ def test_semdedup_cap_matches_uncapped_on_separated_concepts(monkeypatch):
     cap_keep = dict(zip(capped["vec_id"].to_pylist(),
                         capped["keep"].to_pylist()))
     assert cap_keep == ref_keep
+
+
+def test_semdedup_skew_cap_scaled_copies(monkeypatch):
+    """Round-5 review finding: the split must run on the NORMALIZED rows —
+    a scaled copy (cosine exactly 1, different magnitude) must still be
+    removed in an over-cap cluster."""
+    import numpy as np
+
+    from doppel_speller_ray.pipelines import queries_quality as qq
+
+    rng = np.random.default_rng(23)
+    n_base, d, cap = 120, 16, 60
+    base = rng.normal(size=(n_base, d))
+    base /= np.linalg.norm(base, axis=1)[:, None]
+    vecs = np.concatenate([base, base * 5.0])     # copies scaled, cos = 1
+    ids = np.arange(2 * n_base)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster_id": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    monkeypatch.setattr(qq, "_SEM_MAX_CLUSTER", cap)
+    out = qq._semdedup_prune(t)
+    keep = dict(zip(out["vec_id"].to_pylist(), out["keep"].to_pylist()))
+    assert all(not keep[i + n_base] for i in range(n_base))
+    assert all(keep[i] for i in range(n_base))
+
+
+def test_semdedup_skew_cap_mass_identical(monkeypatch):
+    """Round-5 review finding: an exact-duplicate group LARGER than the
+    cap must keep exactly one survivor (closed-form collapse), not one
+    per halving leaf — and all-zero vectors are never removed (cosine 0),
+    capped or not."""
+    import numpy as np
+
+    from doppel_speller_ray.pipelines import queries_quality as qq
+
+    n, cap = 200, 50
+    v = np.full(8, 0.5)
+    vecs = np.concatenate([np.tile(v, (n, 1)), np.zeros((4, 8))])
+    ids = np.arange(n + 4)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "cluster_id": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+        "embedding": pa.array([x.tolist() for x in vecs.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    monkeypatch.setattr(qq, "_SEM_MAX_CLUSTER", cap)
+    out = qq._semdedup_prune(t)
+    keep = dict(zip(out["vec_id"].to_pylist(), out["keep"].to_pylist()))
+    assert keep[0] is True
+    assert all(not keep[i] for i in range(1, n))          # one survivor
+    assert all(keep[n + j] for j in range(4))             # zero vectors kept

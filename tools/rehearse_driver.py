@@ -63,9 +63,16 @@ def _driver_gate(ray_df, ora_df) -> None:
                     f"column {c!r} row {i}: {rv[i]!r} != {ov[i]!r} "
                     "(after round-6)")
         else:
-            if not ray_df[c].equals(ora_df[c]):
-                neq = ray_df[c] != ora_df[c]
-                i = int(np.flatnonzero(neq.to_numpy())[0])
+            # Elementwise VALUE compare — Series.equals is dtype-strict
+            # and would fail int32-vs-int64 columns the kind-class rule
+            # above deliberately accepts. NA == NA counts as equal.
+            import pandas as pd
+
+            rv, ov = ray_df[c].to_numpy(), ora_df[c].to_numpy()
+            eq = (rv == ov) | (pd.isna(rv) & pd.isna(ov))
+            eq = np.asarray(eq, dtype=bool)
+            if not eq.all():
+                i = int(np.flatnonzero(~eq)[0])
                 raise AssertionError(
                     f"column {c!r} row {i}: {ray_df[c].iloc[i]!r} != "
                     f"{ora_df[c].iloc[i]!r}")

@@ -127,11 +127,7 @@ def main() -> None:
     cfg = MatchConfig(prediction_threshold=0.0)
     nf = cfg.not_found_value
 
-    def _model_sha(path: str) -> str:
-        import hashlib
-
-        with open(path, "rb") as mf:
-            return hashlib.sha256(mf.read()).hexdigest()
+    from doppel_speller_ray.util import file_sha256 as _model_sha
 
     if args.rows:
         with open(args.rows) as f:
