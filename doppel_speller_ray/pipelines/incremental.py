@@ -59,6 +59,23 @@ from ..config import DedupConfig
 from ..state.checkpoint import config_fingerprint
 from .dedup import DedupResult, build_docs
 
+#: Pure-execution knobs that do NOT define the persisted index — two runs
+#: differing only in these produce byte-identical state, so they are
+#: excluded from the state fingerprint (a daily incremental job with a
+#: different checkpoint_dir or batch_size must not force a full rebuild).
+_EXECUTION_KNOBS = frozenset({
+    "batch_size", "broadcast_payload_max_bytes", "shuffle_partitions",
+    "checkpoint_dir"})
+
+
+def _index_fingerprint(cfg: DedupConfig) -> str:
+    """Fingerprint of the INDEX-DEFINING config fields only (shingle,
+    banding, SimHash, bucket-cap, containment, verify thresholds)."""
+    from dataclasses import asdict
+
+    return config_fingerprint(
+        {k: v for k, v in asdict(cfg).items() if k not in _EXECUTION_KNOBS})
+
 
 def save_dedup_state(result: DedupResult, cfg: DedupConfig, state_dir: str) -> None:
     """Persist the derived state an incremental run needs (see module doc).
@@ -87,7 +104,7 @@ def save_dedup_state(result: DedupResult, cfg: DedupConfig, state_dir: str) -> N
     result.clusters.write_parquet(os.path.join(state_dir, "clusters"),
                                   mode="overwrite")
     with open(os.path.join(state_dir, "STATE.json"), "w") as f:
-        json.dump({"config_fingerprint": config_fingerprint(cfg)}, f)
+        json.dump({"config_fingerprint": _index_fingerprint(cfg)}, f)
 
 
 def _pack_shingles(t: pa.Table) -> pa.Table:
@@ -127,8 +144,22 @@ def _collect_sorted_ids(ds, col: str = "doc_id") -> np.ndarray:
 
 def incremental_dedup(state_dir: str, delta_ds, cfg: DedupConfig,
                       *, id_col: str = "doc_id", text_col: str = "text",
-                      num_partitions: int | None = None) -> DedupResult:
-    """Cluster ``delta_ds`` against the saved state (see module doc)."""
+                      num_partitions: int | None = None,
+                      check_disjoint_ids: bool = True) -> DedupResult:
+    """Cluster ``delta_ds`` against the saved state (see module doc).
+
+    The returned :class:`DedupResult` is CHAINABLE: its ``docs`` field is
+    the full prepared with_rep table of the new corpus (stored docs ∪
+    delta rows), so ``save_dedup_state(result, cfg, new_state_dir)``
+    rolls the state forward for the next delta.
+
+    ``check_disjoint_ids``: delta doc_ids must be disjoint from the
+    stored corpus — a recrawled id with changed text would otherwise
+    verify against an arbitrary one of its two payload rows and emit
+    duplicate output rows. The guard is one pruned scan of the stored id
+    column against the broadcast delta id set; disable it only when the
+    id scheme guarantees disjointness (e.g. monotonically increasing
+    crawl ids)."""
     import ray
     import ray.data as rd
 
@@ -137,17 +168,41 @@ def incremental_dedup(state_dir: str, delta_ds, cfg: DedupConfig,
     from ..stages.prepare import add_shingles_batch
     from ..stages.verify import verify_pairs_broadcast
     from ..state.unionfind import assign_clusters, cc_numpy, pairs_arrays
-    from ..util import default_num_partitions
 
     with open(os.path.join(state_dir, "STATE.json")) as f:
         meta = json.load(f)
-    if meta["config_fingerprint"] != config_fingerprint(cfg):
+    if meta["config_fingerprint"] != _index_fingerprint(cfg):
         raise ValueError(
             "dedup state was built with a different config "
-            "(shingle/banding parameters define the index); rebuild the "
-            "state or pass the original config")
+            "(shingle/banding/verify parameters define the index); rebuild "
+            "the state or pass the original config")
     delta_docs = build_docs(delta_ds, cfg, id_col=id_col, text_col=text_col,
                             with_shingles=False).materialize()
+
+    if check_disjoint_ids:
+        delta_all_ids = _collect_sorted_ids(delta_docs)
+        if len(delta_all_ids):
+            delta_all_ref = ray.put(delta_all_ids)
+
+            def _collisions(t: pa.Table) -> pa.Table:
+                member = ray.get(delta_all_ref)
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(member, ids),
+                                 len(member) - 1)
+                return pa.table({"n": pa.array(
+                    [int((member[pos] == ids).sum())], pa.int64())})
+
+            n_coll = rd.read_parquet(
+                os.path.join(state_dir, "docs"), columns=["doc_id"]) \
+                .map_batches(_collisions, batch_format="pyarrow") \
+                .sum("n") or 0
+            if n_coll:
+                raise ValueError(
+                    f"{n_coll} delta doc_id(s) already exist in the stored "
+                    "corpus; incremental ingest requires disjoint ids "
+                    "(updates/recrawls must re-run the full pipeline, or "
+                    "use fresh ids). Pass check_disjoint_ids=False only "
+                    "when the id scheme guarantees disjointness")
 
     if num_partitions is None:
         # size the hash exchanges to the DATA (bigger of stored reps and
@@ -218,16 +273,24 @@ def incremental_dedup(state_dir: str, delta_ds, cfg: DedupConfig,
 
     exact_prev_pairs = resolved.map_batches(prev_pairs, batch_format="pyarrow")
 
-    matched_ids = _collect_sorted_ids(
-        resolved.filter(expr="matched == 1").select_columns(["doc_id"]))
+    matched_tbl = resolved.filter(expr="matched == 1") \
+        .select_columns(["doc_id", "prev_rep"]).take_all()  # delta-sized
+    matched_ids = np.sort(np.array([r["doc_id"] for r in matched_tbl],
+                                   np.int64))
+    matched_reps = np.array(
+        [r["prev_rep"] for r in sorted(matched_tbl,
+                                       key=lambda r: r["doc_id"])], np.int64)
+    # broadcast ONCE (ray.put) — a closure capture would pickle the
+    # delta-sized array into the UDF and re-ship it with every task
+    matched_ref = ray.put((matched_ids, matched_reps))
 
     def drop_matched(t: pa.Table) -> pa.Table:
-        if not len(matched_ids):
+        member, _ = ray.get(matched_ref)
+        if not len(member):
             return t
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(matched_ids, ids),
-                         len(matched_ids) - 1)
-        return t.filter(pa.array(matched_ids[pos] != ids))
+        pos = np.minimum(np.searchsorted(member, ids), len(member) - 1)
+        return t.filter(pa.array(member[pos] != ids))
 
     fresh = delta_docs.map_batches(drop_matched, batch_format="pyarrow")
 
@@ -266,39 +329,113 @@ def incremental_dedup(state_dir: str, delta_ds, cfg: DedupConfig,
 
     cand_new = cand.map_batches(delta_touching, batch_format="pyarrow")
 
-    # --- 5. verify (broadcast payload over stored ∪ delta reps) -----------
+    # --- 5. verify (stored ∪ delta reps payload) — the same measured
+    # broadcast↔join switch as the main DAG (dedup.py): below the byte
+    # threshold the payload packs once into the object store; above it,
+    # attach_payload's chained hash joins are the scale path (the whole-
+    # corpus payload never fits one task's heap at 10^12 docs).
     payload_docs = _read_reps(state_dir).select_columns(
         ["doc_id", "norm_text", "shingles"]) \
         .union(delta_reps.select_columns(["doc_id", "norm_text", "shingles"]))
-    verified = verify_pairs_broadcast(cand_new, payload_docs, cfg) \
-        .materialize()
+    payload_refs = payload_docs.to_arrow_refs()  # one execution, blocks stay
+    payload_docs = rd.from_arrow_refs(payload_refs)
+    payload_bytes = payload_docs.size_bytes() or 0
+    if payload_bytes <= cfg.broadcast_payload_max_bytes:
+        verified = verify_pairs_broadcast(cand_new, payload_docs, cfg,
+                                          docs_refs=payload_refs) \
+            .materialize()
+    else:
+        from ..stages.verify import attach_payload, verify_batch
 
-    # --- 6. CC over stored edges + new pairs; assign ----------------------
+        attached = attach_payload(cand_new, payload_docs,
+                                  num_partitions=num_partitions,
+                                  with_text=cfg.use_levenshtein)
+        verified = attached.map_batches(verify_batch, batch_format="pyarrow",
+                                        fn_kwargs={"cfg": cfg}).materialize()
+
+    # --- 6. CC over stored DUPLICATE edges + new pairs; assign ------------
+    # Singleton self-edges (doc_id == cluster_id — the overwhelming
+    # majority of the corpus) are filtered out: assignment re-defaults
+    # absent docs to their own id, so only true duplicate edges need to
+    # flow into CC. Above the same pair threshold the main DAG uses, CC
+    # runs distributed and labels stay a Dataset — the driver never holds
+    # a corpus-sized edge or label array.
     prev_clusters = rd.read_parquet(os.path.join(state_dir, "clusters"))
 
     def cluster_edges(t: pa.Table) -> pa.Table:
-        return pa.table({"left_id": t["doc_id"], "right_id": t["cluster_id"]})
+        f = t.filter(pc.invert(pc.equal(t["doc_id"], t["cluster_id"])))
+        return pa.table({"left_id": f["doc_id"], "right_id": f["cluster_id"]})
 
     def dup_only(t: pa.Table) -> pa.Table:
         f = t.filter(pc.equal(t["is_dup"], True))
         return f.select(["left_id", "right_id"])
 
-    all_edges = prev_clusters.map_batches(cluster_edges, batch_format="pyarrow") \
+    prev_edges = prev_clusters.map_batches(
+        cluster_edges, batch_format="pyarrow").materialize()
+    all_edges = prev_edges \
         .union(exact_prev_pairs) \
         .union(delta_exact_pairs) \
         .union(verified.map_batches(dup_only, batch_format="pyarrow"))
-    left, right = pairs_arrays(all_edges, dup_only=False, has_flag=False)
-    mapping = cc_numpy(left, right)
+    # upper-bound estimate (metadata-only counts): prev dup edges + new
+    # verified pairs + at most two exact pairs per delta doc
+    n_delta = delta_docs.count()
+    n_edges_est = prev_edges.count() + verified.count() + 2 * n_delta
 
-    prev_docs = rd.read_parquet(os.path.join(state_dir, "docs"),
-                                columns=["doc_id"])
-    all_ids = prev_docs.union(delta_docs.select_columns(["doc_id"]))
-    clusters = assign_clusters(all_ids, mapping)
-    nodes, roots = mapping
+    prev_docs_full = rd.read_parquet(os.path.join(state_dir, "docs"))
+    all_ids = prev_docs_full.select_columns(["doc_id"]) \
+        .union(delta_docs.select_columns(["doc_id"]))
+
+    from .dedup import DISTRIBUTED_CC_PAIR_THRESHOLD
+
+    if n_edges_est > DISTRIBUTED_CC_PAIR_THRESHOLD:
+        from ..state.cc import connected_components_distributed
+        from ..state.unionfind import assign_clusters_join
+
+        labels = connected_components_distributed(all_edges)
+        clusters = assign_clusters_join(all_ids, labels)
+        n_components = None  # would force an extra unique() shuffle
+    else:
+        left, right = pairs_arrays(all_edges, dup_only=False, has_flag=False)
+        mapping = cc_numpy(left, right)
+        clusters = assign_clusters(all_ids, mapping)
+        _, roots = mapping
+        n_components = int(len(set(roots.tolist()))) if len(roots) else 0
+
+    # --- 7. chainable docs: the new corpus's full with_rep table ----------
+    # (stored docs ∪ fresh-delta with_rep ∪ matched-delta rows pointing at
+    # their stored rep) — save_dedup_state(result, cfg, new_dir) rolls the
+    # state forward. Canonical column order so the parquet union is
+    # schema-stable regardless of helper-column drift.
+    _DOC_COLS = ["doc_id", "norm_text", "norm_hash", "rep_id", "is_rep",
+                 "n_words", "n_chars"]
+
+    def matched_with_rep(t: pa.Table) -> pa.Table:
+        member, reps = ray.get(matched_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(member):
+            empty = t.slice(0, 0)
+            return empty \
+                .append_column("rep_id", pa.array([], pa.int64())) \
+                .append_column("is_rep", pa.array([], pa.bool_())) \
+                .select(_DOC_COLS)
+        pos = np.minimum(np.searchsorted(member, ids), len(member) - 1)
+        hit = member[pos] == ids
+        sub = t.filter(pa.array(hit))
+        rep = reps[pos[hit]]
+        return sub.append_column("rep_id", pa.array(rep, pa.int64())) \
+            .append_column("is_rep",
+                           pa.array(np.zeros(len(sub), bool), pa.bool_())) \
+            .select(_DOC_COLS)
+
+    docs_out = prev_docs_full.select_columns(_DOC_COLS) \
+        .union(fresh_with_rep.select_columns(_DOC_COLS)) \
+        .union(delta_docs.map_batches(matched_with_rep,
+                                      batch_format="pyarrow"))
+
     return DedupResult(
         clusters=clusters, verified_pairs=verified,
         exact_pairs=exact_prev_pairs.union(delta_exact_pairs),
-        docs=all_ids,
-        stats={"n_components": int(len(set(roots.tolist()))) if len(roots) else 0,
+        docs=docs_out,
+        stats={"n_components": n_components,
                "n_delta_reps": int(len(delta_rep_ids)),
                "n_prev_matched": int(len(matched_ids))})

@@ -106,20 +106,29 @@ def containment_pairs(docs_ds, *, min_containment: float = 0.7, k: int = 8,
         order = np.lexsort((ids, f))
         f, ids, nfp = f[order], ids[order], nfp[order]
         _, starts, counts = np.unique(f, return_index=True, return_counts=True)
+        # vectorized run prefilter BEFORE the Python loop — at web scale
+        # most fingerprints are unique, and paying a loop iteration per
+        # singleton run recreates the per-group-overhead bottleneck the
+        # LSH stage was explicitly restructured to avoid (lsh.py counts>1
+        # mask; measured there: 37 s → <1 s)
+        n_stop = int((counts > max_df).sum())
+        use = (counts >= 2) & (counts <= max_df)
         out = []
-        n_stop = 0
-        for s, c in zip(starts, counts):
-            if c < 2:
-                continue
-            if c > max_df:      # stop-fingerprint: boilerplate shared by many
-                n_stop += 1
-                continue
+        for s, c in zip(starts[use], counts[use]):
             seg_ids = ids[s:s + c]
             seg_n = nfp[s:s + c]
             iu = np.triu_indices(c, k=1)
             out.append((seg_ids[iu[0]], seg_ids[iu[1]], seg_n[iu[0]], seg_n[iu[1]]))
         if drop_counter is not None and n_stop:
-            drop_counter.add.remote(n_stop)  # fire-and-forget, per partition
+            import ray
+
+            # SYNCHRONOUS add: a fire-and-forget .remote() has no delivery
+            # ordering vs the driver's later counter.get — stats_fn could
+            # read before in-flight adds land and silently under-report.
+            # ray.get before the task returns makes dataset-consumed imply
+            # all adds delivered; cost is one ~ms round-trip per partition
+            # that actually dropped something.
+            ray.get(drop_counter.add.remote(n_stop))
         if not out:
             z = np.empty(0, np.int64)
             return pa.table({"left_id": pa.array(z, pa.int64()),

@@ -62,9 +62,8 @@ def signature_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
     return batch.append_column("minhash", lists)
 
 
-def _pairs_for_sorted_runs(ids: np.ndarray, sims: np.ndarray | None,
-                           starts: np.ndarray, counts: np.ndarray,
-                           cfg: DedupConfig):
+def _pairs_for_sorted_runs(ids: np.ndarray, starts: np.ndarray,
+                           counts: np.ndarray, cfg: DedupConfig):
     """Vectorized pair emission for bucket runs in a (bucket, doc_id)-sorted
     id array. Small buckets → all pairs; oversized → neighbour chaining.
     Returns (left_pos, right_pos, oversized): position arrays indexing into
@@ -120,7 +119,7 @@ def pairs_in_partition(group: pa.Table, *, cfg: DedupConfig) -> pa.Table:
         sims = sims[order]
     _, starts, counts = np.unique(buckets, return_index=True, return_counts=True)
     multi = counts > 1
-    lpos, rpos, overs = _pairs_for_sorted_runs(ids, sims, starts[multi],
+    lpos, rpos, overs = _pairs_for_sorted_runs(ids, starts[multi],
                                                counts[multi], cfg)
     left, right = ids[lpos], ids[rpos]
     if use_sim and len(lpos):
