@@ -22,6 +22,7 @@ import os
 from dataclasses import dataclass
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 
 from ..config import DedupConfig
@@ -92,6 +93,13 @@ def _checkpoint(ds, cfg: DedupConfig, name: str, input_token: str = ""):
 #: becomes the binding constraint: 200M pairs ≈ 3.2 GB of arrays.
 DISTRIBUTED_CC_PAIR_THRESHOLD = 200_000_000
 
+#: On the checkpointed path the reps payload is a Parquet-backed Dataset,
+#: so size_bytes() reports compressed ON-DISK bytes while the broadcast
+#: threshold is calibrated for IN-MEMORY footprint (the packed payload one
+#: Ray task must hold). uint64 shingle runs and text compress multi-fold;
+#: scale the estimate by a conservative decode factor before comparing.
+PARQUET_DECODE_FACTOR = 4
+
 
 def _pin_refs(ds, cfg: DedupConfig):
     """Materialize a fan-out Dataset as object-store block refs (no-op on
@@ -133,16 +141,11 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
     # --- exact tier (one shuffle) -----------------------------------------
     with_rep = exact_dedup(docs_all)
     with_rep = _checkpoint(with_rep, cfg, "docs_with_rep", input_token)
-    if not cfg.checkpoint_dir:
-        # with_rep fans out to THREE consumers (reps branch, exact_pairs →
-        # CC, final cluster assignment); left lazy, each one would re-run
-        # the read + normalize + exact shuffle. Collect the block refs once
-        # (blocks stay in the object store and spill if oversized — the
-        # checkpointed path plays the same role via Parquet) and serve all
-        # consumers from them.
-        import ray.data as rd
-
-        with_rep = rd.from_arrow_refs(with_rep.to_arrow_refs())
+    # with_rep fans out to THREE consumers (reps branch, exact_pairs → CC,
+    # final cluster assignment); _pin_refs serves all of them from one set
+    # of object-store blocks (no-op on the checkpointed path, where the
+    # stage Parquet plays that role).
+    with_rep = _pin_refs(with_rep, cfg)
     reps, exact_pairs = split_exact(with_rep)
     from ..stages.prepare import add_shingles_batch
 
@@ -171,34 +174,49 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
     cand = candidate_pairs(bands, cfg)
 
     # --- verification: payload attach (broadcast vs join) + verify --------
+    from ..state.checkpoint import read_or_run
     from ..stages.verify import verify_pairs_broadcast
 
-    payload_bytes = reps.size_bytes() or 0  # materialized → includes shingles
+    payload_bytes = reps.size_bytes()
+    if payload_bytes is None:
+        # unknown size takes the JOIN path — broadcasting an unbounded
+        # payload is the dangerous default
+        payload_bytes = cfg.broadcast_payload_max_bytes + 1
+    elif cfg.checkpoint_dir:
+        payload_bytes *= PARQUET_DECODE_FACTOR  # on-disk → in-memory estimate
     if payload_bytes <= cfg.broadcast_payload_max_bytes:
         # fused broadcast attach+verify: a Ray task packs the payload into
         # pure-numpy arrays in the object store (never on the driver), the
-        # verify stage reads them zero-copy, streams (no candidate barrier)
-        verified = verify_pairs_broadcast(cand, reps, cfg, docs_refs=reps_refs)
-        verified = _checkpoint(verified, cfg, "verified_pairs", input_token)
+        # verify stage reads them zero-copy, streams (no candidate barrier).
+        # Built inside the read_or_run FACTORY so a resume run with a valid
+        # verified_pairs checkpoint never executes the payload pack (or,
+        # on the join path below, the candidate chain) just to discard it.
+        verified = read_or_run(
+            lambda: verify_pairs_broadcast(cand, reps, cfg,
+                                           docs_refs=reps_refs),
+            cfg.checkpoint_dir, "verified_pairs", cfg,
+            input_token=input_token)
         verified = _pin_refs(verified, cfg)
     else:
-        # join path: materialize the (tiny-rows) candidate ids — feeds the
-        # two payload joins without recompute, and guards the no-candidates
-        # case (an empty groupby output loses its schema, which crashes the
-        # downstream hash join)
-        cand = cand.materialize()
-        if cand.count() == 0:
+        def _make_verified():
+            # materialize the (tiny-rows) candidate ids — feeds the two
+            # payload joins without recompute, and guards the no-candidate
+            # case (an empty groupby output loses its schema, which
+            # crashes the downstream hash join)
             import ray.data as rd
 
-            verified = rd.from_arrow(_EMPTY_VERIFIED)
-        else:
-            attached = attach_payload(cand, reps, num_partitions=num_partitions,
+            c = cand.materialize()
+            if c.count() == 0:
+                return rd.from_arrow(_EMPTY_VERIFIED)
+            attached = attach_payload(c, reps, num_partitions=num_partitions,
                                       with_text=cfg.use_levenshtein)
-            verified = attached.map_batches(
-                verify_batch, batch_format="pyarrow", fn_kwargs={"cfg": cfg}
-            )
-            verified = _checkpoint(verified, cfg, "verified_pairs", input_token)
-            verified = _pin_refs(verified, cfg)
+            return attached.map_batches(
+                verify_batch, batch_format="pyarrow", fn_kwargs={"cfg": cfg})
+
+        verified = read_or_run(_make_verified, cfg.checkpoint_dir,
+                               "verified_pairs", cfg,
+                               input_token=input_token)
+        verified = _pin_refs(verified, cfg)
 
     # --- connected components + assignment --------------------------------
     def dup_project(t: pa.Table) -> pa.Table:
@@ -240,16 +258,27 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
             all_pairs = all_pairs.union(cont_pairs)
     n_verified = None
     if use_distributed_cc is None:
-        # verified is checkpointed/materialized → count() is metadata-only;
-        # exact pairs are bounded by the verified-candidate corpus size
+        # the switch guards DRIVER memory, and CC runs over the FULL edge
+        # set — exact pairs scale with the duplicate-doc count (a corpus of
+        # mostly byte-identical copies has huge exact_pairs and few
+        # verified pairs), so they must be counted too. verified is
+        # checkpointed/materialized → count() is metadata-only; exact_pairs
+        # is a cheap projection over the pinned with_rep blocks.
         n_verified = verified.count()
-        use_distributed_cc = n_verified > DISTRIBUTED_CC_PAIR_THRESHOLD
+        n_cc_edges = n_verified + exact_pairs.count() \
+            + (n_containment_pairs or 0)
+        use_distributed_cc = n_cc_edges > DISTRIBUTED_CC_PAIR_THRESHOLD
     if use_distributed_cc:
         from ..state.cc import connected_components_distributed
+        from ..state.checkpoint import config_fingerprint
 
         labels = connected_components_distributed(
-            all_pairs, checkpoint_dir=cfg.checkpoint_dir,
-            input_token=input_token)
+            all_pairs, num_partitions=num_partitions,
+            checkpoint_dir=cfg.checkpoint_dir,
+            input_token=input_token,
+            # the caller's config defines the edge set; without it a rerun
+            # with changed thresholds would resume stale contracted edges
+            extra_token=config_fingerprint(cfg))
         # labels STAY a Dataset: assignment is a left join over the corpus,
         # so no pair- or label-sized array ever lands on the driver
         clusters = assign_clusters_join(with_rep, labels)
@@ -266,7 +295,9 @@ def dedup_pipeline(ds, cfg: DedupConfig = DedupConfig(), *, id_col: str = "doc_i
         clusters = assign_clusters(with_rep, mapping)
         nodes, roots = mapping
         stats = {
-            "n_components": int(len(set(roots.tolist()))) if len(roots) else 0,
+            # np.unique, not set(tolist()) — the latter materializes one
+            # Python int per clustered doc on the driver
+            "n_components": int(np.unique(roots).size) if len(roots) else 0,
             "n_clustered_docs": int(len(nodes)),
         }
     if n_containment_pairs is not None:

@@ -399,7 +399,7 @@ def incremental_dedup(state_dir: str, delta_ds, cfg: DedupConfig,
         mapping = cc_numpy(left, right)
         clusters = assign_clusters(all_ids, mapping)
         _, roots = mapping
-        n_components = int(len(set(roots.tolist()))) if len(roots) else 0
+        n_components = int(np.unique(roots).size) if len(roots) else 0
 
     # --- 7. chainable docs: the new corpus's full with_rep table ----------
     # (stored docs ∪ fresh-delta with_rep ∪ matched-delta rows pointing at

@@ -169,17 +169,22 @@ def verify_pairs_broadcast(pairs_ds, docs_ds, cfg: DedupConfig,
         lev = np.zeros(n, dtype=np.int16)
         need = (jac >= cfg.lev_gate_min) & (jac < cfg.jaccard_threshold)
         if cfg.use_levenshtein and need.any():
-            thr = cfg.lev_threshold
             cap = cfg.lev_max_chars
+            # slice the BYTE run to 4·cap before decoding: UTF-8 is ≤ 4
+            # bytes/char, so the first cap chars always survive the slice
+            # and [:cap] is unchanged — without it a megabyte document
+            # appearing in thousands of chained pairs re-decodes its whole
+            # text per pair ("ignore" only drops the split trailing char,
+            # which is beyond position cap by construction)
+            cap4 = 4 * cap
             for i in np.nonzero(need)[0]:
-                a = btd[bto[lp[i]]: bto[lp[i] + 1]].tobytes().decode("utf-8")[:cap]
-                b = btd[bto[rp[i]]: bto[rp[i] + 1]].tobytes().decode("utf-8")[:cap]
-                if deletion_ratio(a, b) < thr:
-                    continue
-                if chain_ruled_out(a, b, thr):
-                    continue  # O(n+m) bound: no chain kernel can pass thr
-                r = lev_ratio(a, b)
-                lev[i] = token_sort_ratio(a, b) if r <= thr else r
+                ls, le = bto[lp[i]], bto[lp[i] + 1]
+                rs, re_ = bto[rp[i]], bto[rp[i] + 1]
+                a = btd[ls: min(le, ls + cap4)].tobytes() \
+                    .decode("utf-8", "ignore")[:cap]
+                b = btd[rs: min(re_, rs + cap4)].tobytes() \
+                    .decode("utf-8", "ignore")[:cap]
+                lev[i] = gated_pair_lev(a, b, cfg)
 
         jac_ok = jac >= cfg.jaccard_threshold
         is_dup = (jac_ok | (lev > cfg.lev_threshold)) if cfg.use_levenshtein else jac_ok
@@ -188,6 +193,24 @@ def verify_pairs_broadcast(pairs_ds, docs_ds, cfg: DedupConfig,
         return out.append_column("is_dup", pa.array(is_dup, pa.bool_()))
 
     return pairs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def gated_pair_lev(a: str, b: str, cfg: DedupConfig) -> int:
+    """The verify tier's gated Levenshtein chain for ONE capped pair of
+    normalized texts: deletion-ratio prefilter → O(n+m) char-multiset
+    bound (chain_ruled_out) → lev ratio → token-sort fallback. Returns
+    the chain score, 0 when ruled out (only ratio > threshold matters to
+    the is_dup rule). SINGLE implementation shared by the broadcast and
+    join verify paths — both write the same 'verified_pairs' checkpoint,
+    so a drift between hand-copied chains would silently split their
+    semantics."""
+    thr = cfg.lev_threshold
+    if deletion_ratio(a, b) < thr:
+        return 0
+    if chain_ruled_out(a, b, thr):
+        return 0
+    r = lev_ratio(a, b)
+    return token_sort_ratio(a, b) if r <= thr else r
 
 
 def jaccard_pairs_batch(batch: pa.Table) -> np.ndarray:
@@ -216,28 +239,17 @@ def verify_batch(batch: pa.Table, *, cfg: DedupConfig) -> pa.Table:
     lev = np.zeros(n, dtype=np.int16)
     need_lev = (jac >= cfg.lev_gate_min) & (jac < cfg.jaccard_threshold)
     if cfg.use_levenshtein and n and need_lev.any():
-        lt = batch["left_norm_text"].to_pylist()
-        rt = batch["right_norm_text"].to_pylist()
-        thr = cfg.lev_threshold
+        # pylist ONLY the gated rows — the text columns carry whole
+        # documents and the gate typically selects a small fraction
+        idx = np.nonzero(need_lev)[0]
+        lt = batch["left_norm_text"].take(pa.array(idx)).to_pylist()
+        rt = batch["right_norm_text"].take(pa.array(idx)).to_pylist()
         cap = cfg.lev_max_chars
-        for i in np.nonzero(need_lev)[0]:
-            a, b = lt[i], rt[i]
-            if len(a) > cap or len(b) > cap:
-                # long docs: length-proportional sampling would bias the
-                # ratio; compare prefixes (normalized text is whitespace-
-                # collapsed so prefixes align well for near-dups)
-                a, b = a[:cap], b[:cap]
-            if deletion_ratio(a, b) < thr:
-                lev[i] = 0
-                continue
-            if chain_ruled_out(a, b, thr):
-                # O(n+m) char-multiset bound proves neither chain kernel can
-                # exceed the threshold — same "couldn't pass" marker as the
-                # deletion-ratio prefilter (only ratio > thr matters here)
-                lev[i] = 0
-                continue
-            r = lev_ratio(a, b)
-            lev[i] = token_sort_ratio(a, b) if r <= thr else r
+        for j, i in enumerate(idx):
+            # long docs: length-proportional sampling would bias the
+            # ratio; compare prefixes (normalized text is whitespace-
+            # collapsed so prefixes align well for near-dups)
+            lev[i] = gated_pair_lev(lt[j][:cap], rt[j][:cap], cfg)
 
     jac_ok = jac >= cfg.jaccard_threshold
     if cfg.use_levenshtein:

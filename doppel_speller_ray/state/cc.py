@@ -109,7 +109,8 @@ def connected_components_distributed(pairs_ds, max_iters: int = 25,
                                      num_partitions: int | None = None,
                                      checkpoint_dir: str | None = None,
                                      checkpoint_every: int = 2,
-                                     input_token: str = ""):
+                                     input_token: str = "",
+                                     extra_token: str = ""):
     """pair Dataset (left_id, right_id) → Dataset (node:int64, label:int64).
 
     Labels are min doc_id per component (same canonicalization as the
@@ -133,7 +134,14 @@ def connected_components_distributed(pairs_ds, max_iters: int = 25,
         from .checkpoint import (checkpoint_valid, config_fingerprint,
                                  read_checkpoint, write_checkpoint)
 
-        ckpt_fp = config_fingerprint({"op": "cc_star", "P": P}, input_token)
+        # P is deliberately NOT in the fingerprint: star-round results are
+        # partition-count independent, and a resized cluster (different
+        # default P) resuming a crashed loop must still hit the checkpoint.
+        # extra_token carries the CALLER's config fingerprint — without it
+        # a rerun with changed verify thresholds would silently resume the
+        # previous config's contracted edge set (stale-resume).
+        ckpt_fp = config_fingerprint({"op": "cc_star", "extra": extra_token},
+                                     input_token)
 
     if ckpt_fp is not None and checkpoint_valid(checkpoint_dir, "cc_edges", ckpt_fp):
         edges = read_checkpoint(checkpoint_dir, "cc_edges").materialize()
@@ -149,6 +157,14 @@ def connected_components_distributed(pairs_ds, max_iters: int = 25,
         prev_sig = sig
         if ckpt_fp is not None and (r + 1) % checkpoint_every == 0:
             edges = write_checkpoint(edges, checkpoint_dir, "cc_edges", ckpt_fp)
+    else:
+        # exhausting max_iters means the edge set is NOT a star forest —
+        # the Min-aggregate below would split components into several
+        # clusters with zero signal. Fail loudly instead of emitting
+        # silently wrong labels.
+        raise RuntimeError(
+            f"distributed CC did not converge in {max_iters} star rounds; "
+            "raise max_iters (convergence needs O(log n) rounds)")
 
     # final star edges: (child, root). label(node) = min over its edges;
     # roots appear only on the right side, so emit (root, root) too and

@@ -134,9 +134,16 @@ def test_distributed_cc_resumes_from_round_checkpoint(ray_session, tmp_path, mon
     pairs = rd.from_arrow(pa.table({"left_id": pa.array(left), "right_id": pa.array(right)}))
 
     ckdir = str(tmp_path / "cc")
-    # run 1: dies after 2 rounds (checkpoint_every=1 → a round checkpoint exists)
-    connected_components_distributed(pairs, max_iters=2, num_partitions=4,
-                                     checkpoint_dir=ckdir, checkpoint_every=1)
+    # run 1: dies after 2 rounds — exhausting max_iters without converging
+    # now FAILS LOUDLY (round-5 review: silently emitting labels from a
+    # non-star edge set splits components); the round checkpoint written
+    # before the failure is the resume point
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_distributed(pairs, max_iters=2, num_partitions=4,
+                                         checkpoint_dir=ckdir,
+                                         checkpoint_every=1)
     manifest = ckpt_mod.read_manifest(ckdir, "cc_edges")
     assert manifest["total_rows"] > 0
 
@@ -175,3 +182,31 @@ def test_write_output_manifest(ray_session, tmp_path):
     disk = json.load(open(f"{out}/_manifest.json"))
     assert disk["stats"] == {"k": 1}
     assert rd.read_parquet(out).count() == 100  # manifest not read as data
+
+
+def test_cc_checkpoint_invalidated_by_caller_token(ray_session, tmp_path):
+    """Round-5 review finding: the cc_edges fingerprint must include the
+    caller's config token — a rerun with changed thresholds (different
+    edge set) must NOT resume the previous config's contracted edges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from doppel_speller_ray.state.cc import connected_components_distributed
+
+    def pairs_of(edges):
+        a = np.array(edges, np.int64)
+        return rd.from_arrow(pa.table({"left_id": pa.array(a[:, 0]),
+                                       "right_id": pa.array(a[:, 1])}))
+
+    ckdir = str(tmp_path / "cc")
+    # config A: one chain 0-1-2
+    connected_components_distributed(
+        pairs_of([[0, 1], [1, 2]]), num_partitions=4,
+        checkpoint_dir=ckdir, checkpoint_every=1, extra_token="cfgA")
+    # config B: a DIFFERENT edge set; stale resume would ignore it
+    labels = connected_components_distributed(
+        pairs_of([[10, 11]]), num_partitions=4,
+        checkpoint_dir=ckdir, checkpoint_every=1, extra_token="cfgB")
+    got = {r["node"]: r["label"] for r in labels.take_all()}
+    assert got == {10: 10, 11: 10}
